@@ -7,12 +7,22 @@ initializes its backends, hence this happens at conftest import time.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU regardless of what the host env selects (e.g. JAX_PLATFORMS=axon
+# for the tunneled TPU): unit tests must be hermetic and fast, and fp32 parity
+# tests need true-fp32 matmuls, which TPU MXU paths don't give by default.
+# The axon sitecustomize re-registers its platform via jax.config.update at
+# interpreter start, so the env var alone is not enough — reset the config
+# after importing jax (backends initialize lazily, so this is still in time).
+os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
         xla_flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 

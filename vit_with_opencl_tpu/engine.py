@@ -1,0 +1,118 @@
+"""Jit-compiled batched inference engine.
+
+This layer replaces the reference's hand-built concurrency machinery — five
+out-of-order OpenCL queues, the ``cl_event`` dependency DAG, per-image buffer
+sets with async-callback cleanup, pipelined weight upload, ping-pong encoder
+buffers (reference: ViT_opencl.c:107-114, 333-357, 845-861, 916-965) — with
+what XLA gives natively:
+
+  * weights live in HBM once (``jax.device_put`` at construction — the
+    reference's ``fillLoadedOnceWeight``/``fillEncoderWeight`` upload phase);
+  * the whole forward pass is one compiled program; dataflow, fusion and
+    scheduling replace the event graph;
+  * images are batched (``vmap`` is implicit in batched ops) instead of
+    pipelined one-by-one;
+  * dispatch is async — the host enqueues every batch before blocking on
+    results, overlapping host-side feeding with device compute, the same
+    *effect* as the reference's never-blocking enqueue loop
+    (ViT_opencl.c:926-965).
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import ViTConfig
+from .models import vit
+
+
+class InferenceEngine:
+    """Compiled batched ViT inference on one device.
+
+    Args:
+      config: model architecture.
+      named_params: {name: shaped numpy array} from ``io.binfmt.weights_to_dict``.
+      batch_size: static batch the forward pass is compiled for. Inputs are
+        padded to a multiple (excess rows discarded) — the reference instead
+        hard-caps its pipeline at 100 in-flight images (ViT_opencl.c:107-114).
+      param_dtype / compute_dtype: bf16 by default, fp32 for parity testing.
+      attention_impl: 'xla' (einsum softmax chain) or 'flash' (Pallas kernel).
+      device: target device; defaults to ``jax.devices()[0]``.
+    """
+
+    def __init__(
+        self,
+        config: ViTConfig,
+        named_params: Dict[str, np.ndarray],
+        *,
+        batch_size: int = 32,
+        param_dtype: jnp.dtype = jnp.bfloat16,
+        compute_dtype: jnp.dtype = jnp.bfloat16,
+        attention_impl: str = "xla",
+        device: Optional[Any] = None,
+    ):
+        self.config = config
+        self.batch_size = int(batch_size)
+        self.compute_dtype = compute_dtype
+        self.device = device if device is not None else jax.devices()[0]
+        t0 = time.perf_counter()
+        params = vit.stack_params(named_params, config, param_dtype=param_dtype)
+        self.params = jax.device_put(params, self.device)
+        kernels = vit.resolve_kernels(attention_impl)
+
+        @functools.partial(jax.jit, static_argnames=())
+        def _forward(images, params):
+            return vit.forward(
+                images, params, config, compute_dtype=compute_dtype, kernels=kernels
+            )
+
+        self._forward = _forward
+        self.setup_time = time.perf_counter() - t0
+        self._compiled = False
+
+    def warmup(self) -> float:
+        """Trigger compilation (the reference's program-build phase,
+        ViT_opencl.c:832-906); returns compile wall-time in seconds."""
+        t0 = time.perf_counter()
+        dummy = jnp.zeros(
+            (self.batch_size, self.config.in_chans, self.config.img_size,
+             self.config.img_size),
+            jnp.float32,
+        )
+        jax.block_until_ready(self._forward(jax.device_put(dummy, self.device),
+                                            self.params))
+        self._compiled = True
+        return time.perf_counter() - t0
+
+    def run(self, images: np.ndarray) -> np.ndarray:
+        """All-images inference → probabilities [n, num_classes] (fp32 numpy).
+
+        Enqueues every batch asynchronously before gathering — host feed
+        overlaps device compute (the reference's inter-image pipelining
+        effect, ViT_opencl.c:926-965).
+        """
+        images = np.asarray(images, np.float32)
+        if images.ndim == 3:
+            images = images[None]
+        n = images.shape[0]
+        bs = self.batch_size
+        outputs = []
+        for start in range(0, n, bs):
+            chunk = images[start : start + bs]
+            if chunk.shape[0] < bs:
+                pad = np.zeros((bs - chunk.shape[0],) + chunk.shape[1:], np.float32)
+                chunk = np.concatenate([chunk, pad], axis=0)
+            dev_chunk = jax.device_put(jnp.asarray(chunk), self.device)
+            outputs.append(self._forward(dev_chunk, self.params))
+        # Gather (single sync point).
+        probs = np.concatenate([np.asarray(o) for o in outputs], axis=0)
+        return probs[:n]
+
+    def __call__(self, images: np.ndarray) -> np.ndarray:
+        return self.run(images)

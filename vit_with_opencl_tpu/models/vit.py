@@ -1,0 +1,311 @@
+"""TPU-native ViT forward pass (JAX/XLA).
+
+This is the accelerated backend — the role the reference's OpenCL host
+orchestration + 8 kernels play (reference: ViT_opencl.c:794-986, §2.2 of
+SURVEY.md) — redesigned for XLA rather than transliterated:
+
+  * patch-embedding conv → patchify reshape + one MXU matmul
+    (replaces ``conv2d_kernel`` + ``postprocess``, conv2d.cl:1-80);
+  * the 12 encoder layers → ``lax.scan`` over stacked layer weights
+    (replaces the unrolled ping-pong orchestration, ViT_opencl.c:938-948);
+  * QKV projection → a single fused ``[D, 3D]`` matmul
+    (replaces the ``QKV`` kernel, multihead.cl:3-63);
+  * attention core → batched einsum or a fused Pallas flash kernel
+    (replaces ``QKV_TO_SCOREV``, multihead.cl:65-138, without its seq<=256 cap);
+  * linear(+GELU) → XLA-fused matmul epilogues or a Pallas GEMM
+    (replaces ``ll.cl``);
+  * LayerNorm / residual / softmax → XLA fusions (replace layer_norm.cl,
+    miniSoftMax.cl).
+
+Numerics: bf16 storage/matmul inputs with fp32 accumulation
+(``preferred_element_type``), LN statistics and softmax in fp32 — targeting
+max abs err < 1e-3 vs the fp32 golden model. A ``param_dtype=float32`` mode
+exists for tight parity testing.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ViTConfig
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Parameter conversion: named numpy dict (io layer) → stacked device pytree
+# ---------------------------------------------------------------------------
+
+
+def stack_params(
+    named: Dict[str, np.ndarray],
+    config: ViTConfig,
+    param_dtype: jnp.dtype = jnp.bfloat16,
+) -> Params:
+    """{torchvision-style name: array} → stacked pytree for ``lax.scan``.
+
+    Matmul weights are pre-transposed to right-multiply layout ``[in, out]``
+    (the reference stores PyTorch ``[out, in]`` and reads it transposed inside
+    its GEMM — ll.cl:47); LN parameters and biases stay fp32 — they feed fp32
+    epilogues and cost nothing.
+    """
+    f32 = jnp.float32
+
+    def w(name, dtype=param_dtype):
+        return jnp.asarray(named[name], dtype=dtype)
+
+    d = config.embed_dim
+    prefix_tokens = [np.asarray(named["class_token"], np.float32).reshape(1, d)]
+    if config.num_prefix_tokens > 1:
+        prefix_tokens.append(np.asarray(named["dist_token"], np.float32).reshape(1, d))
+    params: Params = {
+        "prefix_tokens": jnp.asarray(np.concatenate(prefix_tokens, 0), f32),
+        # conv [D, C, P, P] → [C*P*P, D] so patchify output right-multiplies.
+        "patch_w": jnp.asarray(
+            np.asarray(named["conv_proj_weight"], np.float32).reshape(d, -1).T,
+            param_dtype,
+        ),
+        "patch_b": w("conv_proj_bias", f32),
+        "pos_emb": w("encoder_pos_embedding", f32),
+        "final_ln_w": w("encoder_ln_weight", f32),
+        "final_ln_b": w("encoder_ln_bias", f32),
+    }
+    if config.pre_norm:
+        params["pre_ln_w"] = w("encoder_pre_ln_weight", f32)
+        params["pre_ln_b"] = w("encoder_pre_ln_bias", f32)
+    if config.head_type != "none":
+        params["head_w"] = jnp.asarray(
+            np.asarray(named["heads_head_weight"], np.float32).T, param_dtype
+        )
+        params["head_b"] = w("heads_head_bias", f32)
+    if config.head_type == "cls+dist":
+        params["head_dist_w"] = jnp.asarray(
+            np.asarray(named["heads_head_dist_weight"], np.float32).T, param_dtype
+        )
+        params["head_dist_b"] = w("heads_head_dist_bias", f32)
+
+    def stack(key, transpose=False, dtype=param_dtype):
+        arrs = []
+        for layer in range(config.depth):
+            a = np.asarray(
+                named[f"encoder_layers_encoder_layer_{layer}_{key}"], np.float32
+            )
+            arrs.append(a.T if transpose else a)
+        return jnp.asarray(np.stack(arrs), dtype=dtype)
+
+    params["layers"] = {
+        "ln1_w": stack("ln_1_weight", dtype=f32),
+        "ln1_b": stack("ln_1_bias", dtype=f32),
+        "qkv_w": stack("self_attention_in_proj_weight", transpose=True),  # [L, D, 3D]
+        "qkv_b": stack("self_attention_in_proj_bias", dtype=f32),  # [L, 3D]
+        "out_w": stack("self_attention_out_proj_weight", transpose=True),  # [L, D, D]
+        "out_b": stack("self_attention_out_proj_bias", dtype=f32),
+        "ln2_w": stack("ln_2_weight", dtype=f32),
+        "ln2_b": stack("ln_2_bias", dtype=f32),
+        "fc1_w": stack("mlp_0_weight", transpose=True),  # [L, D, H]
+        "fc1_b": stack("mlp_0_bias", dtype=f32),
+        "fc2_w": stack("mlp_3_weight", transpose=True),  # [L, H, D]
+        "fc2_b": stack("mlp_3_bias", dtype=f32),
+    }
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Ops (XLA path; Pallas variants live in ops/ and plug in via `kernels`)
+# ---------------------------------------------------------------------------
+
+
+def layer_norm(x: jax.Array, w: jax.Array, b: jax.Array, eps: float) -> jax.Array:
+    """LN with fp32 statistics, var = E[x²]−E[x]² (golden semantics,
+    reference: ViT_seq.c:120-142). Returns x's dtype."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    mean_sq = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    var = mean_sq - mean * mean
+    inv = jax.lax.rsqrt(var + eps)
+    return ((xf - mean) * inv * w + b).astype(x.dtype)
+
+
+def gelu_erf(x: jax.Array) -> jax.Array:
+    """Exact erf-GELU in fp32 (golden semantics, reference: ViT_seq.c:283-285)."""
+    xf = x.astype(jnp.float32)
+    return (0.5 * xf * (1.0 + jax.lax.erf(xf * np.float32(1 / np.sqrt(2.0))))).astype(
+        x.dtype
+    )
+
+
+def _gelu(x: jax.Array, config: ViTConfig) -> jax.Array:
+    if config.gelu_approx == "tanh":
+        return jax.nn.gelu(x, approximate=True)
+    return gelu_erf(x)
+
+
+def _matmul(x: jax.Array, w: jax.Array, b: Optional[jax.Array]) -> jax.Array:
+    """x @ w (+ b) with fp32 accumulation; result in x's dtype."""
+    out = jnp.dot(x, w, preferred_element_type=jnp.float32)
+    if b is not None:
+        out = out + b
+    return out.astype(x.dtype)
+
+
+def xla_attention(
+    q: jax.Array, k: jax.Array, v: jax.Array, config: ViTConfig
+) -> jax.Array:
+    """Reference attention math as batched einsums ([B, H, T, hd] inputs).
+
+    XLA fuses the softmax chain; scores materialize per (B, H) tile in HBM,
+    which is fine at 197 tokens. The Pallas flash kernel (ops/attention.py)
+    replaces this for long sequences and peak perf.
+    """
+    scale = np.float32(1.0 / np.sqrt(config.head_dim))
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(scores * scale, axis=-1)
+    return jnp.einsum(
+        "bhqk,bhkd->bhqd", probs.astype(v.dtype), v, preferred_element_type=jnp.float32
+    ).astype(v.dtype)
+
+
+def _attention_block(
+    x: jax.Array, lp: Params, config: ViTConfig, kernels: Dict[str, Any]
+) -> jax.Array:
+    """LN1 → fused QKV matmul → attention core → out-proj, batched [B, T, D]."""
+    b, t, d = x.shape
+    nh, hd = config.num_heads, config.head_dim
+    h = kernels["layer_norm"](x, lp["ln1_w"], lp["ln1_b"], config.eps)
+    qkv = kernels["matmul"](h, lp["qkv_w"], lp["qkv_b"])  # [B, T, 3D]
+    qkv = qkv.reshape(b, t, 3, nh, hd).transpose(2, 0, 3, 1, 4)  # [3, B, H, T, hd]
+    ctx = kernels["attention"](qkv[0], qkv[1], qkv[2], config)  # [B, H, T, hd]
+    ctx = ctx.transpose(0, 2, 1, 3).reshape(b, t, d)
+    return kernels["matmul"](ctx, lp["out_w"], lp["out_b"])
+
+
+def _mlp_block(
+    x: jax.Array, lp: Params, config: ViTConfig, kernels: Dict[str, Any]
+) -> jax.Array:
+    h = kernels["layer_norm"](x, lp["ln2_w"], lp["ln2_b"], config.eps)
+    h = kernels["matmul_gelu"](h, lp["fc1_w"], lp["fc1_b"], config)
+    return kernels["matmul"](h, lp["fc2_w"], lp["fc2_b"])
+
+
+def _default_kernels() -> Dict[str, Any]:
+    return {
+        "layer_norm": layer_norm,
+        "matmul": _matmul,
+        "matmul_gelu": lambda x, w, b, cfg: _gelu(_matmul(x, w, b), cfg),
+        "attention": xla_attention,
+    }
+
+
+def resolve_kernels(attention_impl: str = "xla") -> Dict[str, Any]:
+    """Kernel table for the forward pass. ``attention_impl``: 'xla' | 'flash'."""
+    kernels = _default_kernels()
+    if attention_impl == "flash":
+        from ..ops.attention import flash_attention
+
+        kernels["attention"] = flash_attention
+    elif attention_impl != "xla":
+        raise ValueError(f"unknown attention_impl {attention_impl!r}")
+    return kernels
+
+
+# ---------------------------------------------------------------------------
+# Forward pass
+# ---------------------------------------------------------------------------
+
+
+def patchify(images: jax.Array, config: ViTConfig) -> jax.Array:
+    """[B, C, H, W] → [B, num_patches, C*P*P] with (ic, kh, kw) patch layout
+    (matches the conv kernel flattening, reference: ViT_seq.c:46)."""
+    b, c, _, _ = images.shape
+    p, g = config.patch_size, config.grid_size
+    x = images.reshape(b, c, g, p, g, p)
+    x = x.transpose(0, 2, 4, 1, 3, 5)  # [B, g, g, C, P, P]
+    return x.reshape(b, g * g, c * p * p)
+
+
+def embed(images: jax.Array, params: Params, config: ViTConfig,
+          compute_dtype: jnp.dtype) -> jax.Array:
+    """Patch-embed + prefix tokens + positional embedding → [B, T, D].
+
+    One MXU matmul plus an fp32 epilogue — the fused equivalent of the
+    reference's ``conv2d_kernel`` + ``postprocess`` pair (conv2d.cl:1-80)."""
+    b = images.shape[0]
+    patches = patchify(images, config).astype(params["patch_w"].dtype)
+    tok = jnp.dot(patches, params["patch_w"], preferred_element_type=jnp.float32)
+    tok = tok + params["patch_b"]  # fp32 epilogue
+    prefix = jnp.broadcast_to(
+        params["prefix_tokens"][None], (b,) + params["prefix_tokens"].shape
+    )
+    x = jnp.concatenate([prefix, tok], axis=1) + params["pos_emb"]
+    return x.astype(compute_dtype)
+
+
+def encoder(x: jax.Array, params: Params, config: ViTConfig,
+            kernels: Dict[str, Any]) -> jax.Array:
+    """``lax.scan`` over the stacked per-layer weights (replaces the
+    reference's 12 unrolled calls, ViT_seq.c:446-504)."""
+
+    def block(h, lp):
+        h = h + _attention_block(h, lp, config, kernels)
+        h = h + _mlp_block(h, lp, config, kernels)
+        return h, None
+
+    x, _ = jax.lax.scan(block, x, params["layers"])
+    return x
+
+
+def forward_features(
+    images: jax.Array,
+    params: Params,
+    config: ViTConfig,
+    *,
+    compute_dtype: jnp.dtype = jnp.bfloat16,
+    kernels: Optional[Dict[str, Any]] = None,
+) -> jax.Array:
+    """Tower forward → final-LN token features [B, T, D] (fp32)."""
+    kernels = kernels or _default_kernels()
+    x = embed(images, params, config, compute_dtype)
+    if config.pre_norm:
+        x = kernels["layer_norm"](x, params["pre_ln_w"], params["pre_ln_b"], config.eps)
+    x = encoder(x, params, config, kernels)
+    x = layer_norm(x, params["final_ln_w"], params["final_ln_b"], config.eps)
+    return x.astype(jnp.float32)
+
+
+def forward(
+    images: jax.Array,
+    params: Params,
+    config: ViTConfig,
+    *,
+    compute_dtype: jnp.dtype = jnp.bfloat16,
+    kernels: Optional[Dict[str, Any]] = None,
+    return_logits: bool = False,
+) -> jax.Array:
+    """Full classifier forward → probabilities [B, num_classes] (fp32).
+
+    Head applies to the CLS row only (reference: ViT_seq.c:509-513); the DeiT
+    variant averages CLS-head and distill-head logits.
+    """
+    feats = forward_features(
+        images, params, config, compute_dtype=compute_dtype, kernels=kernels
+    )
+    if config.head_type == "none":
+        raise ValueError("head_type='none': use forward_features")
+    cls = feats[:, 0].astype(params["head_w"].dtype)
+    logits = jnp.dot(cls, params["head_w"], preferred_element_type=jnp.float32)
+    logits = logits + params["head_b"]
+    if config.head_type == "cls+dist":
+        dist = feats[:, 1].astype(params["head_dist_w"].dtype)
+        dist_logits = (
+            jnp.dot(dist, params["head_dist_w"], preferred_element_type=jnp.float32)
+            + params["head_dist_b"]
+        )
+        logits = 0.5 * (logits + dist_logits)
+    if return_logits:
+        return logits
+    return jax.nn.softmax(logits, axis=-1)
