@@ -115,6 +115,117 @@ def stack_params(
     return params
 
 
+def random_stacked_params(
+    config: ViTConfig,
+    key: jax.Array,
+    param_dtype: jnp.dtype = jnp.bfloat16,
+    scale: float = 0.02,
+) -> Params:
+    """Random stacked params generated directly on device.
+
+    For benchmarks and compile checks: avoids materializing ~90M host floats
+    and pushing them through a (possibly tunneled) H2D path.
+    """
+    f32 = jnp.float32
+    d, h, L = config.embed_dim, config.hidden_dim, config.depth
+    keys = iter(jax.random.split(key, 32))
+
+    def rnd(shape, dtype=param_dtype, s=scale):
+        return (jax.random.normal(next(keys), shape, f32) * s).astype(dtype)
+
+    params: Params = {
+        "prefix_tokens": rnd((config.num_prefix_tokens, d), f32),
+        "patch_w": rnd((config.in_chans * config.patch_size**2, d)),
+        "patch_b": rnd((d,), f32),
+        "pos_emb": rnd((config.num_tokens, d), f32),
+        "final_ln_w": jnp.ones((d,), f32),
+        "final_ln_b": jnp.zeros((d,), f32),
+    }
+    if config.pre_norm:
+        params["pre_ln_w"] = jnp.ones((d,), f32)
+        params["pre_ln_b"] = jnp.zeros((d,), f32)
+    if config.head_type != "none":
+        params["head_w"] = rnd((d, config.num_classes))
+        params["head_b"] = rnd((config.num_classes,), f32)
+    if config.head_type == "cls+dist":
+        params["head_dist_w"] = rnd((d, config.num_classes))
+        params["head_dist_b"] = rnd((config.num_classes,), f32)
+    params["layers"] = {
+        "ln1_w": jnp.ones((L, d), f32),
+        "ln1_b": jnp.zeros((L, d), f32),
+        "qkv_w": rnd((L, d, 3 * d)),
+        "qkv_b": rnd((L, 3 * d), f32),
+        "out_w": rnd((L, d, d)),
+        "out_b": rnd((L, d), f32),
+        "ln2_w": jnp.ones((L, d), f32),
+        "ln2_b": jnp.zeros((L, d), f32),
+        "fc1_w": rnd((L, d, h)),
+        "fc1_b": rnd((L, h), f32),
+        "fc2_w": rnd((L, h, d)),
+        "fc2_b": rnd((L, d), f32),
+    }
+    return params
+
+
+def cheap_stacked_params(
+    config: ViTConfig,
+    param_dtype: jnp.dtype = jnp.bfloat16,
+    scale: float = 0.02,
+) -> Params:
+    """Deterministic non-random stacked params for benchmarking.
+
+    ``random_stacked_params`` is the right tool for correctness work, but a
+    threefry program over ~90M elements is brutal to compile on some
+    backends (the tunneled runtime times out). Benchmarks only need varied,
+    well-scaled values, which a cheap iota hash provides at negligible
+    compile cost.
+    """
+    f32 = jnp.float32
+    d, h, L = config.embed_dim, config.hidden_dim, config.depth
+    salt = [0]
+
+    def fill(shape, dtype=param_dtype, s=scale):
+        salt[0] += 1
+        n = int(np.prod(shape))
+        i = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+        v = ((i * 1103515245 + salt[0] * 12345) % 2039).astype(f32)
+        v = (v / 2039.0 - 0.5) * (2.0 * s)
+        return v.reshape(shape).astype(dtype)
+
+    params: Params = {
+        "prefix_tokens": fill((config.num_prefix_tokens, d), f32),
+        "patch_w": fill((config.in_chans * config.patch_size**2, d)),
+        "patch_b": fill((d,), f32),
+        "pos_emb": fill((config.num_tokens, d), f32),
+        "final_ln_w": jnp.ones((d,), f32),
+        "final_ln_b": jnp.zeros((d,), f32),
+    }
+    if config.pre_norm:
+        params["pre_ln_w"] = jnp.ones((d,), f32)
+        params["pre_ln_b"] = jnp.zeros((d,), f32)
+    if config.head_type != "none":
+        params["head_w"] = fill((d, config.num_classes))
+        params["head_b"] = fill((config.num_classes,), f32)
+    if config.head_type == "cls+dist":
+        params["head_dist_w"] = fill((d, config.num_classes))
+        params["head_dist_b"] = fill((config.num_classes,), f32)
+    params["layers"] = {
+        "ln1_w": jnp.ones((L, d), f32),
+        "ln1_b": jnp.zeros((L, d), f32),
+        "qkv_w": fill((L, d, 3 * d)),
+        "qkv_b": fill((L, 3 * d), f32),
+        "out_w": fill((L, d, d)),
+        "out_b": fill((L, d), f32),
+        "ln2_w": jnp.ones((L, d), f32),
+        "ln2_b": jnp.zeros((L, d), f32),
+        "fc1_w": fill((L, d, h)),
+        "fc1_b": fill((L, h), f32),
+        "fc2_w": fill((L, h, d)),
+        "fc2_b": fill((L, d), f32),
+    }
+    return params
+
+
 # ---------------------------------------------------------------------------
 # Ops (XLA path; Pallas variants live in ops/ and plug in via `kernels`)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,11 @@
+from .spmd import (  # noqa: F401
+    dp_forward_fn,
+    gspmd_param_specs,
+    make_mesh,
+    make_train_step,
+    shard_params_gspmd,
+    shard_params_tp,
+    to_tp_layout,
+    tp_forward,
+    tp_pspecs,
+)

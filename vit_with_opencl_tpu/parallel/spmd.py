@@ -1,0 +1,273 @@
+"""Multi-chip SPMD: device mesh, shardings, tensor/data-parallel execution.
+
+The reference is strictly single-process, single-device — its only
+"communication backend" is five out-of-order OpenCL queues and a hand-built
+``cl_event`` DAG on one GPU (reference: ViT_opencl.c:845-861, 107-114;
+SURVEY.md §2.3). This layer is the capability the reference lacks, built the
+TPU way:
+
+  * a ``jax.sharding.Mesh`` with ``("data", "model")`` axes over ICI;
+  * **data parallelism**: batch sharded over ``data``, params replicated,
+    zero per-step communication;
+  * **tensor parallelism** (Megatron-style, explicit via ``shard_map``):
+    attention heads and MLP hidden dim sharded over ``model`` — column-
+    parallel QKV/fc1, row-parallel out-proj/fc2, one ``psum`` after each of
+    the two row-parallel matmuls per layer, attention itself is
+    head-parallel and communication-free;
+  * a GSPMD (``jit`` + ``NamedSharding``) training step where XLA inserts
+    the collectives automatically.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import ViTConfig
+from ..models import vit
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Mesh
+# ---------------------------------------------------------------------------
+
+
+def make_mesh(
+    data: int = 1,
+    model: int = 1,
+    *,
+    devices: Optional[Any] = None,
+) -> Mesh:
+    """A ("data", "model") mesh. ``data*model`` must divide into the device
+    count; defaults lay DP along the outer axis so TP rides the fastest ICI
+    links within a chip group."""
+    devs = np.asarray(devices if devices is not None else jax.devices())
+    need = data * model
+    if devs.size < need:
+        raise ValueError(f"need {need} devices, have {devs.size}")
+    return Mesh(devs[:need].reshape(data, model), axis_names=("data", "model"))
+
+
+# ---------------------------------------------------------------------------
+# Tensor-parallel parameter layout
+# ---------------------------------------------------------------------------
+#
+# The single-chip stacked layout packs QKV as [L, D, 3D] with the 3D axis
+# ordered (q|k|v). For clean head-sharding the TP layout reorders it
+# head-major: [L, D, nh, 3, hd] flattened to [L, D, nh*3*hd], so a shard of
+# the last axis is a whole group of heads. out_proj is reshaped [L, nh*hd, D]
+# (already head-major on its input dim).
+
+
+def to_tp_layout(params: Params, config: ViTConfig) -> Params:
+    nh, hd, L, d = config.num_heads, config.head_dim, config.depth, config.embed_dim
+    lp = dict(params["layers"])
+    qkv_w = lp["qkv_w"].reshape(L, d, 3, nh, hd).transpose(0, 1, 3, 2, 4)
+    lp["qkv_w"] = qkv_w.reshape(L, d, nh * 3 * hd)
+    qkv_b = lp["qkv_b"].reshape(L, 3, nh, hd).transpose(0, 2, 1, 3)
+    lp["qkv_b"] = qkv_b.reshape(L, nh * 3 * hd)
+    out = dict(params)
+    out["layers"] = lp
+    return out
+
+
+def tp_pspecs(params: Params, config: ViTConfig) -> Params:
+    """PartitionSpec tree matching the TP layout: column-parallel QKV/fc1,
+    row-parallel out/fc2, everything else replicated."""
+    specs = jax.tree.map(lambda _: P(), params)
+    specs["layers"] = dict(specs["layers"])
+    specs["layers"]["qkv_w"] = P(None, None, "model")
+    specs["layers"]["qkv_b"] = P(None, "model")
+    specs["layers"]["out_w"] = P(None, "model", None)
+    specs["layers"]["fc1_w"] = P(None, None, "model")
+    specs["layers"]["fc1_b"] = P(None, "model")
+    specs["layers"]["fc2_w"] = P(None, "model", None)
+    return specs
+
+
+def shard_params_tp(params: Params, mesh: Mesh, config: ViTConfig) -> Params:
+    """Re-layout + place params for tensor parallelism."""
+    n_model = mesh.shape["model"]
+    if config.num_heads % n_model:
+        raise ValueError(
+            f"num_heads {config.num_heads} not divisible by model axis {n_model}"
+        )
+    if config.hidden_dim % n_model:
+        raise ValueError(
+            f"hidden_dim {config.hidden_dim} not divisible by model axis {n_model}"
+        )
+    tp = to_tp_layout(params, config)
+    specs = tp_pspecs(tp, config)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), tp, specs
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tensor+data-parallel forward (shard_map, explicit collectives)
+# ---------------------------------------------------------------------------
+
+
+def _tp_block(h, lp, config: ViTConfig, n_model: int, kernels):
+    """One encoder layer on a model-axis shard: local heads + local hidden
+    slice, two psums (after out-proj and after fc2)."""
+    nh_loc = config.num_heads // n_model
+    hd = config.head_dim
+    b, t, d = h.shape
+
+    # Attention: column-parallel QKV (local heads), head-parallel core,
+    # row-parallel out-proj + psum.
+    x = kernels["layer_norm"](h, lp["ln1_w"], lp["ln1_b"], config.eps)
+    qkv = jnp.dot(x, lp["qkv_w"], preferred_element_type=jnp.float32)
+    qkv = (qkv + lp["qkv_b"]).astype(h.dtype)
+    qkv = qkv.reshape(b, t, nh_loc, 3, hd).transpose(3, 0, 2, 1, 4)  # [3,B,nh,T,hd]
+    ctx = kernels["attention"](qkv[0], qkv[1], qkv[2], config)
+    ctx = ctx.transpose(0, 2, 1, 3).reshape(b, t, nh_loc * hd)
+    partial = jnp.dot(ctx, lp["out_w"], preferred_element_type=jnp.float32)
+    attn_out = jax.lax.psum(partial, "model") + lp["out_b"]
+    h = h + attn_out.astype(h.dtype)
+
+    # MLP: column-parallel fc1 (local hidden slice), row-parallel fc2 + psum.
+    x = kernels["layer_norm"](h, lp["ln2_w"], lp["ln2_b"], config.eps)
+    hid = jnp.dot(x, lp["fc1_w"], preferred_element_type=jnp.float32)
+    hid = vit.gelu_erf((hid + lp["fc1_b"]).astype(h.dtype))
+    partial = jnp.dot(hid, lp["fc2_w"], preferred_element_type=jnp.float32)
+    mlp_out = jax.lax.psum(partial, "model") + lp["fc2_b"]
+    return h + mlp_out.astype(h.dtype), None
+
+
+def tp_forward(
+    images: jax.Array,
+    params: Params,
+    config: ViTConfig,
+    mesh: Mesh,
+    *,
+    compute_dtype: jnp.dtype = jnp.bfloat16,
+    attention_impl: str = "xla",
+    return_logits: bool = False,
+):
+    """DPxTP forward over a ("data", "model") mesh.
+
+    Batch is sharded over ``data``; within each data shard the layer weights
+    are sharded over ``model`` as in ``shard_params_tp``. Returns globally
+    assembled probabilities [B, num_classes].
+    """
+    n_model = mesh.shape["model"]
+    kernels = vit.resolve_kernels(attention_impl)
+    pspecs = tp_pspecs(params, config)
+
+    def fwd(imgs, p):
+        x = vit.embed(imgs, p, config, compute_dtype)
+        if config.pre_norm:
+            x = kernels["layer_norm"](x, p["pre_ln_w"], p["pre_ln_b"], config.eps)
+        block = functools.partial(
+            _tp_block, config=config, n_model=n_model, kernels=kernels
+        )
+        x, _ = jax.lax.scan(lambda h, lp: block(h, lp), x, p["layers"])
+        x = vit.layer_norm(x, p["final_ln_w"], p["final_ln_b"], config.eps)
+        cls = x[:, 0].astype(p["head_w"].dtype)
+        logits = (
+            jnp.dot(cls, p["head_w"], preferred_element_type=jnp.float32)
+            + p["head_b"]
+        )
+        if config.head_type == "cls+dist":
+            dist = x[:, 1].astype(p["head_dist_w"].dtype)
+            logits = 0.5 * (
+                logits
+                + jnp.dot(dist, p["head_dist_w"], preferred_element_type=jnp.float32)
+                + p["head_dist_b"]
+            )
+        if return_logits:
+            return logits
+        return jax.nn.softmax(logits, axis=-1)
+
+    shmapped = jax.shard_map(
+        fwd,
+        mesh=mesh,
+        in_specs=(P("data"), pspecs),
+        out_specs=P("data"),
+        check_vma=False,
+    )
+    return jax.jit(shmapped)(images, params)
+
+
+# ---------------------------------------------------------------------------
+# Data-parallel inference (pjit/GSPMD — params replicated)
+# ---------------------------------------------------------------------------
+
+
+def dp_forward_fn(config: ViTConfig, mesh: Mesh, *, compute_dtype=jnp.bfloat16,
+                  attention_impl: str = "xla"):
+    """Compiled data-parallel forward: batch over the full mesh, params
+    replicated. The throughput config for BASELINE's images/sec scaling."""
+    kernels = vit.resolve_kernels(attention_impl)
+    data_sharding = NamedSharding(mesh, P(("data", "model")))
+
+    @functools.partial(jax.jit, out_shardings=data_sharding)
+    def fwd(images, params):
+        images = jax.lax.with_sharding_constraint(images, data_sharding)
+        return vit.forward(
+            images, params, config, compute_dtype=compute_dtype, kernels=kernels
+        )
+
+    return fwd
+
+
+# ---------------------------------------------------------------------------
+# GSPMD training step (capability beyond the reference; exercises grads +
+# collectives for the multi-chip dry run)
+# ---------------------------------------------------------------------------
+
+
+def make_train_step(config: ViTConfig, mesh: Mesh, *, lr: float = 1e-3,
+                    compute_dtype=jnp.float32):
+    """Cross-entropy SGD step, jit over the mesh: batch sharded over "data",
+    weights sharded over "model" (GSPMD inserts the collectives)."""
+
+    def loss_fn(params, images, labels):
+        logits = vit.forward(
+            images, params, config, compute_dtype=compute_dtype,
+            return_logits=True,
+        )
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=-1))
+
+    @jax.jit
+    def step(params, images, labels):
+        loss, grads = jax.value_and_grad(loss_fn)(params, images, labels)
+        new_params = jax.tree.map(
+            lambda p, g: (p - lr * g.astype(jnp.float32)).astype(p.dtype)
+            if jnp.issubdtype(p.dtype, jnp.floating)
+            else p,
+            params,
+            grads,
+        )
+        return new_params, loss
+
+    return step
+
+
+def gspmd_param_specs(params: Params, config: ViTConfig) -> Params:
+    """Sharding specs for the single-chip stacked layout under GSPMD: shard
+    the big per-layer matrices over "model", replicate the rest."""
+    specs = jax.tree.map(lambda _: P(), params)
+    specs["layers"] = dict(specs["layers"])
+    specs["layers"]["qkv_w"] = P(None, None, "model")
+    specs["layers"]["out_w"] = P(None, "model", None)
+    specs["layers"]["fc1_w"] = P(None, None, "model")
+    specs["layers"]["fc2_w"] = P(None, "model", None)
+    return specs
+
+
+def shard_params_gspmd(params: Params, mesh: Mesh, config: ViTConfig) -> Params:
+    specs = gspmd_param_specs(params, config)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
+    )
