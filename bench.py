@@ -1,0 +1,141 @@
+"""Headline benchmark: ViT-B/16 @224 bf16 inference throughput on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": images/sec/chip, "unit": "images/sec",
+   "vs_baseline": fraction of the BASELINE target (90% of v5e bf16 roofline)}
+
+The reference publishes no numbers (BASELINE.md); the baseline is therefore
+the roofline target from BASELINE.json: >=90% of peak-FLOPs-implied
+images/sec for the ~17.5 GFLOP ViT-B/16 forward pass on v5e.
+
+Env knobs: BENCH_CONFIG (preset name), BENCH_BATCH, BENCH_ITERS, BENCH_PARITY=1
+(adds a bf16-vs-golden parity check on stderr).
+"""
+
+import json
+import os
+import sys
+import time
+
+
+# v5e: 394 TFLOP/s bf16 per chip... no — v5e is 197 TFLOP/s bf16. Keep a map
+# so other generations report a sane fraction.
+PEAK_BF16_TFLOPS = {
+    "v4": 275.0,
+    "v5e": 197.0,
+    "v5p": 459.0,
+    "v6e": 918.0,
+}
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from vit_with_opencl_tpu import get_config
+    from vit_with_opencl_tpu.models import vit
+
+    cfg = get_config(os.environ.get("BENCH_CONFIG", "vit_b_16_224"))
+    batch = int(os.environ.get("BENCH_BATCH", "256"))
+    iters = int(os.environ.get("BENCH_ITERS", "20"))
+    attention_impl = os.environ.get("BENCH_ATTN", "xla")
+
+    dev = jax.devices()[0]
+    gen = os.environ.get("PALLAS_AXON_TPU_GEN", "v5e")
+    peak_tflops = PEAK_BF16_TFLOPS.get(gen, 197.0)
+    print(f"bench: {cfg.name} batch={batch} iters={iters} device={dev} "
+          f"attn={attention_impl}", file=sys.stderr)
+
+    import numpy as np
+
+    # Params and inputs generated on device (no tunneled H2D of ~90M floats),
+    # inside single jit programs with a cheap iota hash: per-op eager
+    # dispatch, and threefry over 90M elements, both blow up compile time
+    # under the tunneled runtime.
+    params = jax.jit(
+        lambda: vit.cheap_stacked_params(cfg, jnp.bfloat16)
+    )()
+    images = jax.jit(
+        lambda k: jax.random.normal(
+            k, (batch, cfg.in_chans, cfg.img_size, cfg.img_size), jnp.float32
+        )
+    )(jax.random.key(1))
+    # Force materialization with a real host fetch: under the tunneled axon
+    # runtime jax.block_until_ready returns before execution completes, so
+    # every timing boundary here is an actual device->host read (device
+    # programs execute in submission order, so one small fetch fences
+    # everything enqueued before it).
+    t0 = time.perf_counter()
+    np.asarray(params["patch_b"][:1])
+    np.asarray(images[0, 0, 0, :1])
+    print(f"param/input gen+materialize: {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr)
+
+    kernels = vit.resolve_kernels(attention_impl)
+    fwd = jax.jit(
+        lambda im, p: vit.forward(im, p, cfg, compute_dtype=jnp.bfloat16,
+                                  kernels=kernels)
+    )
+
+    t0 = time.perf_counter()
+    np.asarray(fwd(images, params)[0, :1])
+    compile_s = time.perf_counter() - t0
+    print(f"compile+first-run: {compile_s:.1f}s", file=sys.stderr)
+
+    # Warm run (steady-state caches).
+    np.asarray(fwd(images, params)[0, :1])
+
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(iters):
+        out = fwd(images, params)
+    np.asarray(out[0, :1])  # fence: forces all queued iterations
+    elapsed = time.perf_counter() - t0
+
+    imgs_per_sec = batch * iters / elapsed
+    gflop = cfg.flops_per_image / 1e9
+    achieved_tflops = imgs_per_sec * gflop / 1e3
+    roofline_imgs = peak_tflops * 1e3 / gflop
+    target = 0.9 * roofline_imgs
+    print(
+        f"{imgs_per_sec:.1f} images/sec, {achieved_tflops:.1f} TF/s achieved, "
+        f"{gflop:.1f} GFLOP/img, roofline {roofline_imgs:.0f} img/s ({gen}), "
+        f"MFU {achieved_tflops / peak_tflops * 100:.1f}%",
+        file=sys.stderr,
+    )
+
+    if os.environ.get("BENCH_PARITY") == "1":
+        import numpy as np
+
+        from vit_with_opencl_tpu.harness import fixtures
+        from vit_with_opencl_tpu.models import golden
+
+        named = fixtures.random_params(cfg, seed=0, scale=0.02)
+        pimgs = fixtures.random_images(cfg, n=2, seed=1)
+        ref = golden.golden_forward(pimgs, named, cfg)
+        stacked = vit.stack_params(named, cfg, param_dtype=jnp.bfloat16)
+        got = np.asarray(
+            jax.jit(
+                lambda im, p: vit.forward(im, p, cfg,
+                                          compute_dtype=jnp.bfloat16,
+                                          kernels=kernels)
+            )(jnp.asarray(pimgs), stacked)
+        )
+        err = float(np.abs(got - ref).max())
+        print(f"parity: max abs err vs golden = {err:.2e} "
+              f"({'OK' if err < 1e-3 else 'FAIL'} vs 1e-3 gate)", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": f"images/sec/chip ({cfg.name}, bf16, batch={batch})",
+                "value": round(imgs_per_sec, 1),
+                "unit": "images/sec",
+                "vs_baseline": round(imgs_per_sec / target, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -23,7 +23,7 @@ from .io.labels import IMAGENET_LABELS
 
 
 def _run_backend(backend: str, images: np.ndarray, params, cfg,
-                 batch_size: int) -> np.ndarray:
+                 batch_size: int, attention: str = "xla") -> np.ndarray:
     if backend == "golden":
         from .models import golden
 
@@ -31,7 +31,9 @@ def _run_backend(backend: str, images: np.ndarray, params, cfg,
     elif backend == "tpu":
         from .engine import InferenceEngine
 
-        engine = InferenceEngine(cfg, params, batch_size=batch_size)
+        engine = InferenceEngine(
+            cfg, params, batch_size=batch_size, attention_impl=attention
+        )
         return engine.run(images)
     else:
         raise ValueError(f"unknown backend {backend!r}")
@@ -51,27 +53,48 @@ def main(argv=None) -> int:
     parser.add_argument("--config", default="vit_b_16_224",
                         choices=sorted(config_lib.PRESETS))
     parser.add_argument("--batch-size", type=int, default=32)
+    parser.add_argument("--attention", choices=["xla", "flash"], default="xla",
+                        help="attention core: XLA einsum chain or the fused "
+                        "Pallas flash kernel")
     parser.add_argument("--no-round-weights", action="store_true",
                         help="skip the reference's 6-decimal weight rounding")
     parser.add_argument("--print-labels", action="store_true",
                         help="also print human-readable class names")
+    parser.add_argument("--pure-python", action="store_true",
+                        help="force the NumPy io layer instead of libvitio")
     args = parser.parse_args(argv)
 
     cfg = config_lib.get_config(args.config)
 
+    nio = None
+    if not args.pure_python:
+        from .runtime import get_native_io
+
+        nio = get_native_io()
+
     t0 = time.perf_counter()
-    images = binfmt.load_image_data(args.input)
-    weights = binfmt.load_weights(
-        args.weights, cfg, round_to_6dp=not args.no_round_weights, strict=True
-    )
+    if nio is not None:
+        images = nio.load_images(args.input)
+        weights = nio.load_weights(
+            args.weights,
+            len(binfmt.weight_names(cfg)),
+            round_to_6dp=not args.no_round_weights,
+            strict=True,
+        )
+    else:
+        images = binfmt.load_image_data(args.input)
+        weights = binfmt.load_weights(
+            args.weights, cfg, round_to_6dp=not args.no_round_weights, strict=True
+        )
     params = binfmt.weights_to_dict(weights, cfg)
     t_load = time.perf_counter() - t0
     print(f"loaded {images.shape[0]} images + {len(weights)} weights "
-          f"in {t_load:.2f}s")
+          f"in {t_load:.2f}s ({'libvitio' if nio else 'numpy'} io)")
 
     print("=====================Start========================")
     t0 = time.perf_counter()
-    probs = _run_backend(args.backend, images, params, cfg, args.batch_size)
+    probs = _run_backend(args.backend, images, params, cfg, args.batch_size,
+                         args.attention)
     elapsed = time.perf_counter() - t0
     n = images.shape[0]
     print(f"Elapsed time: {elapsed:.4f} sec ({n / elapsed:.2f} images/sec)")
