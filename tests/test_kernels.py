@@ -67,6 +67,34 @@ def test_flash_attention_beyond_reference_cap():
     np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5)
 
 
+@pytest.mark.parametrize("t", [197, 577])
+def test_blockwise_attention_matches_single_pass(t):
+    """The online-softmax blockwise path (used past SINGLE_PASS_MAX_T) must
+    agree with the single-pass path at any length."""
+    r = rng()
+    q = r.standard_normal((1, 3, t, 64)).astype(np.float32)
+    k = r.standard_normal((1, 3, t, 64)).astype(np.float32)
+    v = r.standard_normal((1, 3, t, 64)).astype(np.float32)
+    blockwise = attention._blockwise_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), CFG, interpret=True
+    )
+    ref = _ref_attention(q, k, v, CFG.head_dim)
+    np.testing.assert_allclose(np.asarray(blockwise), ref, atol=2e-5)
+
+
+def test_single_pass_heads_per_cell_divisor():
+    """n=b*h not divisible by the default heads-per-cell must still work."""
+    r = rng()
+    q = r.standard_normal((1, 3, 197, 64)).astype(np.float32)  # n=3 (prime)
+    k = r.standard_normal((1, 3, 197, 64)).astype(np.float32)
+    v = r.standard_normal((1, 3, 197, 64)).astype(np.float32)
+    out = attention._single_pass_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), CFG, interpret=True
+    )
+    ref = _ref_attention(q, k, v, CFG.head_dim)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5)
+
+
 def test_flash_attention_bf16():
     r = rng()
     q = r.standard_normal((1, 4, 197, 16)).astype(np.float32)

@@ -284,14 +284,22 @@ def xla_attention(
 def _attention_block(
     x: jax.Array, lp: Params, config: ViTConfig, kernels: Dict[str, Any]
 ) -> jax.Array:
-    """LN1 → fused QKV matmul → attention core → out-proj, batched [B, T, D]."""
+    """LN1 → fused QKV matmul → attention core → out-proj, batched [B, T, D].
+
+    With a packed-attention kernel in the table, the QKV matmul output feeds
+    the attention core directly in its packed [B, T, 3D] layout (no head-axis
+    transposes materialized); otherwise the generic [B, H, T, hd] path runs.
+    """
     b, t, d = x.shape
     nh, hd = config.num_heads, config.head_dim
     h = kernels["layer_norm"](x, lp["ln1_w"], lp["ln1_b"], config.eps)
     qkv = kernels["matmul"](h, lp["qkv_w"], lp["qkv_b"])  # [B, T, 3D]
-    qkv = qkv.reshape(b, t, 3, nh, hd).transpose(2, 0, 3, 1, 4)  # [3, B, H, T, hd]
-    ctx = kernels["attention"](qkv[0], qkv[1], qkv[2], config)  # [B, H, T, hd]
-    ctx = ctx.transpose(0, 2, 1, 3).reshape(b, t, d)
+    if "attention_packed" in kernels:
+        ctx = kernels["attention_packed"](qkv, config)  # [B, T, D]
+    else:
+        qkv = qkv.reshape(b, t, 3, nh, hd).transpose(2, 0, 3, 1, 4)
+        ctx = kernels["attention"](qkv[0], qkv[1], qkv[2], config)
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(b, t, d)
     return kernels["matmul"](ctx, lp["out_w"], lp["out_b"])
 
 
@@ -313,12 +321,20 @@ def _default_kernels() -> Dict[str, Any]:
 
 
 def resolve_kernels(attention_impl: str = "xla") -> Dict[str, Any]:
-    """Kernel table for the forward pass. ``attention_impl``: 'xla' | 'flash'."""
+    """Kernel table for the forward pass.
+
+    ``attention_impl``:
+      * 'xla'   — einsum softmax chain (scores materialize; XLA fuses the rest)
+      * 'flash' — Pallas fused attention: packed-layout kernel in the jit
+        engine path plus the generic [B, H, T, hd] flash kernel for callers
+        that already hold split heads (e.g. the tensor-parallel path).
+    """
     kernels = _default_kernels()
     if attention_impl == "flash":
-        from ..ops.attention import flash_attention
+        from ..ops.attention import flash_attention, packed_fused_attention
 
         kernels["attention"] = flash_attention
+        kernels["attention_packed"] = packed_fused_attention
     elif attention_impl != "xla":
         raise ValueError(f"unknown attention_impl {attention_impl!r}")
     return kernels

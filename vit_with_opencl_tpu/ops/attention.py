@@ -89,6 +89,34 @@ def _flash_kernel(
         o_ref[0] = (acc_ref[...] * l_inv).astype(o_ref.dtype)
 
 
+def _single_pass_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
+                        seq_len: int, heads_per_cell: int):
+    """Whole-sequence fused attention: K/V for the full (padded) sequence are
+    VMEM-resident, so softmax is one shot — no online statistics. Several
+    heads per grid cell amortize grid overhead (hd=64 keeps each matmul
+    half-depth on the MXU, so per-head work is small)."""
+    for i in range(heads_per_cell):
+        q = q_ref[i]  # [t_pad, hd]
+        k = k_ref[i]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # [t_pad, t_pad]
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < seq_len, s, MASK_VALUE)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        p = p / l
+        o_ref[i] = jax.lax.dot(
+            p.astype(v_ref.dtype), v_ref[i], preferred_element_type=jnp.float32
+        ).astype(o_ref.dtype)
+
+
+# Above this (padded) sequence length, whole-KV-in-VMEM stops being a good
+# idea and the kernel switches to the online-softmax blockwise path.
+SINGLE_PASS_MAX_T = 1024
+
+
 def flash_attention(
     q: jax.Array,
     k: jax.Array,
@@ -103,10 +131,77 @@ def flash_attention(
 
     Drop-in for ``models.vit.xla_attention`` (same kernel-table slot).
     ``interpret=None`` auto-selects: compiled on TPU, interpreter elsewhere
-    (CPU tests).
+    (CPU tests). Two regimes:
+
+      * short sequences (padded T <= SINGLE_PASS_MAX_T): single-pass kernel,
+        whole K/V in VMEM, one-shot softmax, several heads per grid cell;
+      * long sequences: blockwise online-softmax (classic flash), unbounded T.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    b, h, t, hd = q.shape
+    if t <= SINGLE_PASS_MAX_T:
+        return _single_pass_attention(q, k, v, config, interpret=interpret)
+    return _blockwise_attention(
+        q, k, v, config, block_q=block_q, block_k=block_k, interpret=interpret
+    )
+
+
+def _single_pass_attention(q, k, v, config, *, interpret=False,
+                           heads_per_cell: int | None = None):
+    b, h, t, hd = q.shape
+    scale = float(1.0 / np.sqrt(config.head_dim))
+    t_pad = max(_cdiv(t, 128) * 128, 128)
+    if t_pad != t:
+        pad = [(0, 0), (0, 0), (0, t_pad - t), (0, 0)]
+        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+    n = b * h
+    if heads_per_cell is None:
+        # Budget ~2 MB of VMEM for the scores tile per cell.
+        heads_per_cell = max(1, min(8, n, (2 << 20) // (t_pad * t_pad * 4)))
+    while n % heads_per_cell:
+        heads_per_cell -= 1
+    qf = q.reshape(n, t_pad, hd)
+    kf = k.reshape(n, t_pad, hd)
+    vf = v.reshape(n, t_pad, hd)
+    kernel = functools.partial(
+        _single_pass_kernel, scale=scale, seq_len=t,
+        heads_per_cell=heads_per_cell,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(n // heads_per_cell,),
+        in_specs=[
+            pl.BlockSpec((heads_per_cell, t_pad, hd), lambda i: (i, 0, 0)),
+            pl.BlockSpec((heads_per_cell, t_pad, hd), lambda i: (i, 0, 0)),
+            pl.BlockSpec((heads_per_cell, t_pad, hd), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((heads_per_cell, t_pad, hd), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, t_pad, hd), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * n * t_pad * t_pad * hd,
+            bytes_accessed=4 * n * t_pad * hd * q.dtype.itemsize,
+            transcendentals=n * t_pad * t_pad,
+        ),
+        interpret=interpret,
+    )(qf, kf, vf)
+    out = out.reshape(b, h, t_pad, hd)
+    return out[:, :, :t] if t_pad != t else out
+
+
+def _blockwise_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    config: ViTConfig,
+    *,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+    interpret: bool = False,
+) -> jax.Array:
     b, h, t, hd = q.shape
     scale = float(1.0 / np.sqrt(config.head_dim))
 
@@ -166,3 +261,93 @@ def flash_attention(
 def flash_attention_interpret(q, k, v, config):
     """Interpreter-mode variant for CPU tests."""
     return flash_attention(q, k, v, config, interpret=True)
+
+
+# ---------------------------------------------------------------------------
+# Packed-layout fused attention: consumes the QKV projection's natural output
+# ---------------------------------------------------------------------------
+
+
+def _packed_kernel(qkv_ref, o_ref, *, scale: float, seq_len: int,
+                   num_heads: int, head_dim: int, images_per_cell: int):
+    """qkv block [images_per_cell, t_pad, 3*H*hd] (packed q|k|v, head-major
+    within each) → ctx block [images_per_cell, t_pad, H*hd].
+
+    All per-head slices are static offsets into VMEM — the head loop is
+    unrolled at trace time. Scores/softmax stay in registers/VMEM; nothing
+    [T, T]-shaped ever reaches HBM.
+    """
+    d = num_heads * head_dim
+    for img in range(images_per_cell):
+        qkv = qkv_ref[img]  # [t_pad, 3D]
+        for h in range(num_heads):
+            q = qkv[:, h * head_dim:(h + 1) * head_dim]
+            k = qkv[:, d + h * head_dim: d + (h + 1) * head_dim]
+            v = qkv[:, 2 * d + h * head_dim: 2 * d + (h + 1) * head_dim]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < seq_len, s, MASK_VALUE)
+            m = jnp.max(s, axis=1, keepdims=True)
+            p = jnp.exp(s - m)
+            p = p / jnp.sum(p, axis=1, keepdims=True)
+            o_ref[img, :, h * head_dim:(h + 1) * head_dim] = jax.lax.dot(
+                p.astype(v.dtype), v, preferred_element_type=jnp.float32
+            ).astype(o_ref.dtype)
+
+
+def packed_fused_attention(
+    qkv: jax.Array,
+    config: ViTConfig,
+    *,
+    images_per_cell: int | None = None,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Fused attention over packed QKV: [B, T, 3D] → [B, T, D].
+
+    The fast path for the jit engine: the QKV matmul's output feeds straight
+    in (same packed q|k|v layout the reference's ``QKV`` kernel emits,
+    multihead.cl:21-22), so no head-axis transposes or per-operand relayouts
+    are materialized in HBM — the launch overhead that made the generic
+    [B, H, T, hd] entry point lose to XLA einsums at 197 tokens.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, t, three_d = qkv.shape
+    nh, hd = config.num_heads, config.head_dim
+    d = nh * hd
+    assert three_d == 3 * d, (three_d, d)
+    scale = float(1.0 / np.sqrt(hd))
+    t_pad = max(_cdiv(t, 128) * 128, 128)
+    if t_pad != t:
+        qkv = jnp.pad(qkv, ((0, 0), (0, t_pad - t), (0, 0)))
+    if images_per_cell is None:
+        images_per_cell = max(1, min(4, b))
+    while b % images_per_cell:
+        images_per_cell -= 1
+
+    kernel = functools.partial(
+        _packed_kernel, scale=scale, seq_len=t, num_heads=nh, head_dim=hd,
+        images_per_cell=images_per_cell,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(b // images_per_cell,),
+        in_specs=[
+            pl.BlockSpec((images_per_cell, t_pad, 3 * d), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((images_per_cell, t_pad, d), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, t_pad, d), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * nh * t_pad * t_pad * hd,
+            bytes_accessed=4 * b * t_pad * d * qkv.dtype.itemsize,
+            transcendentals=b * nh * t_pad * t_pad,
+        ),
+        interpret=interpret,
+    )(qkv)
+    return out[:, :t] if t_pad != t else out

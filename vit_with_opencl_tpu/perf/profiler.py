@@ -1,0 +1,197 @@
+"""Per-op profiling and throughput reporting.
+
+The reference carries an event-profiling scaffold — queues created with
+``CL_QUEUE_PROFILING_ENABLE``, per-kernel start/end accumulation and a
+totals/averages report — that is entirely commented out
+(reference: ViT_opencl.c:988-1048; call sites :402,477-479,611-615,966).
+This module restores that capability TPU-style:
+
+  * ``profile_ops``: times each pipeline stage (embed, LN, QKV, attention
+    core, out-proj, MLP, head, softmax) as its own compiled program and
+    reports the reference's totals/averages table shape;
+  * ``trace``: context manager around ``jax.profiler`` for real XLA traces;
+  * ``throughput_report``: images/sec + achieved TFLOP/s + roofline fraction
+    (the reference's per-picture ``clock()`` prints, ViT_opencl.c:964,
+    upgraded to MFU accounting).
+
+Timing is fenced with a real device→host fetch: on some runtimes (the
+tunneled axon platform) ``block_until_ready`` returns before execution
+finishes, so every boundary here reads a scalar back.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import dataclasses
+import time
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ViTConfig
+from ..models import vit
+
+PEAK_BF16_TFLOPS = {
+    "v4": 275.0,
+    "v5e": 197.0,
+    "v5p": 459.0,
+    "v6e": 918.0,
+}
+
+
+def _fence(x) -> None:
+    """Force completion of everything enqueued before x (real host fetch)."""
+    leaf = jax.tree.leaves(x)[0]
+    np.asarray(jax.device_get(leaf.ravel()[:1]))
+
+
+@dataclasses.dataclass
+class OpProfile:
+    name: str
+    calls: int
+    total_ms: float
+
+    @property
+    def avg_ms(self) -> float:
+        return self.total_ms / max(self.calls, 1)
+
+
+def _time_op(fn: Callable, args, iters: int) -> float:
+    """Median-of-3 wall time for `iters` queued executions, fetch-fenced."""
+    out = fn(*args)
+    _fence(out)  # compile + warm
+    samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        _fence(out)
+        samples.append((time.perf_counter() - t0) * 1e3)
+    return float(np.median(samples))
+
+
+def profile_ops(
+    config: ViTConfig,
+    params: Dict[str, Any],
+    images: jax.Array,
+    *,
+    compute_dtype=jnp.bfloat16,
+    attention_impl: str = "xla",
+    iters: int = 10,
+) -> List[OpProfile]:
+    """Stage-by-stage timing of the forward pipeline (one compiled program
+    per stage, batch taken from ``images``)."""
+    kernels = vit.resolve_kernels(attention_impl)
+    b = images.shape[0]
+    t, d, nh, hd = (config.num_tokens, config.embed_dim, config.num_heads,
+                    config.head_dim)
+    lp0 = jax.tree.map(lambda a: a[0], params["layers"])
+
+    x = jax.jit(
+        lambda im, p: vit.embed(im, p, config, compute_dtype)
+    )(images, params)
+    _fence(x)
+    qkv = jax.jit(
+        lambda h, lp: kernels["matmul"](h, lp["qkv_w"], lp["qkv_b"])
+        .reshape(b, t, 3, nh, hd)
+        .transpose(2, 0, 3, 1, 4)
+    )(x, lp0)
+    _fence(qkv)
+    ctx = jax.jit(
+        lambda q: kernels["attention"](q[0], q[1], q[2], config)
+    )(qkv)
+    _fence(ctx)
+    hid = jax.jit(
+        lambda h, lp: kernels["matmul_gelu"](h, lp["fc1_w"], lp["fc1_b"], config)
+    )(x, lp0)
+    _fence(hid)
+
+    stages: List[OpProfile] = []
+
+    def add(name, fn, args, calls_per_image: int):
+        ms = _time_op(jax.jit(fn), args, iters)
+        stages.append(OpProfile(name, calls_per_image, ms / iters))
+
+    L = config.depth
+    add("patch_embed(+cls+pos)",
+        lambda im, p: vit.embed(im, p, config, compute_dtype),
+        (images, params), 1)
+    add("layer_norm",
+        lambda h, lp: kernels["layer_norm"](h, lp["ln1_w"], lp["ln1_b"], config.eps),
+        (x, lp0), 2 * L + 1)
+    add("qkv_proj",
+        lambda h, lp: kernels["matmul"](h, lp["qkv_w"], lp["qkv_b"]),
+        (x, lp0), L)
+    add("attention_core",
+        lambda q: kernels["attention"](q[0], q[1], q[2], config),
+        (qkv,), L)
+    add("out_proj",
+        lambda h, lp: kernels["matmul"](h, lp["out_w"], lp["out_b"]),
+        (x, lp0), L)
+    add("mlp_fc1_gelu",
+        lambda h, lp: kernels["matmul_gelu"](h, lp["fc1_w"], lp["fc1_b"], config),
+        (x, lp0), L)
+    add("mlp_fc2",
+        lambda h, lp: kernels["matmul"](h, lp["fc2_w"], lp["fc2_b"]),
+        (hid, lp0), L)
+    if config.head_type != "none":
+        cls = x[:, 0]
+        add("head+softmax",
+            lambda c, p: jax.nn.softmax(
+                jnp.dot(c.astype(p["head_w"].dtype), p["head_w"],
+                        preferred_element_type=jnp.float32) + p["head_b"]
+            ),
+            (cls, params), 1)
+    return stages
+
+
+def format_profile(stages: List[OpProfile], batch: int) -> str:
+    """The reference reporter's shape (per-op total/average), per batch."""
+    lines = [
+        f"{'op':<24}{'calls/img':>10}{'ms/call':>12}{'ms/img total':>14}",
+        "-" * 60,
+    ]
+    total = 0.0
+    for s in stages:
+        per_img_total = s.total_ms * s.calls
+        total += per_img_total
+        lines.append(
+            f"{s.name:<24}{s.calls:>10}{s.total_ms:>12.3f}{per_img_total:>14.3f}"
+        )
+    lines.append("-" * 60)
+    lines.append(f"{'sum (batch of ' + str(batch) + ')':<24}{'':>10}{'':>12}"
+                 f"{total:>14.3f}")
+    return "\n".join(lines)
+
+
+@contextlib.contextmanager
+def trace(log_dir: str = "/tmp/jax-trace"):
+    """XLA profiler trace around a block (view with xprof/tensorboard)."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield log_dir
+    finally:
+        jax.profiler.stop_trace()
+
+
+def throughput_report(
+    config: ViTConfig,
+    batch: int,
+    elapsed_s: float,
+    iters: int,
+    *,
+    tpu_gen: str = "v5e",
+) -> Dict[str, float]:
+    imgs_per_sec = batch * iters / elapsed_s
+    gflop = config.flops_per_image / 1e9
+    achieved_tflops = imgs_per_sec * gflop / 1e3
+    peak = PEAK_BF16_TFLOPS.get(tpu_gen, 197.0)
+    return {
+        "images_per_sec": imgs_per_sec,
+        "gflop_per_image": gflop,
+        "achieved_tflops": achieved_tflops,
+        "mfu": achieved_tflops / peak,
+        "roofline_images_per_sec": peak * 1e3 / gflop,
+    }
