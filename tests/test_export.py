@@ -1,0 +1,148 @@
+"""Exporter tests: torchvision/HF state dicts → reference format → identical
+model behavior through both converters."""
+
+import numpy as np
+import pytest
+import torch
+
+from vit_with_opencl_tpu import ViTConfig
+from vit_with_opencl_tpu.harness import fixtures
+from vit_with_opencl_tpu.io import binfmt, export
+from vit_with_opencl_tpu.models import golden
+
+CFG = ViTConfig(
+    name="exp_small", img_size=32, patch_size=8, embed_dim=48, depth=2,
+    num_heads=4, num_classes=9,
+)
+
+
+@pytest.fixture(scope="module")
+def named_params():
+    return fixtures.random_params(CFG, seed=4, scale=0.05)
+
+
+def _to_torchvision_state(params):
+    d = CFG.embed_dim
+    state = {
+        "class_token": torch.from_numpy(params["class_token"].reshape(1, 1, d).copy()),
+        "conv_proj.weight": torch.from_numpy(params["conv_proj_weight"].copy()),
+        "conv_proj.bias": torch.from_numpy(params["conv_proj_bias"].copy()),
+        "encoder.pos_embedding": torch.from_numpy(
+            params["encoder_pos_embedding"].reshape(1, CFG.num_tokens, d).copy()
+        ),
+        "encoder.ln.weight": torch.from_numpy(params["encoder_ln_weight"].copy()),
+        "encoder.ln.bias": torch.from_numpy(params["encoder_ln_bias"].copy()),
+        "heads.head.weight": torch.from_numpy(params["heads_head_weight"].copy()),
+        "heads.head.bias": torch.from_numpy(params["heads_head_bias"].copy()),
+    }
+    for i in range(CFG.depth):
+        src = f"encoder_layers_encoder_layer_{i}_"
+        dst = f"encoder.layers.encoder_layer_{i}."
+        state[dst + "ln_1.weight"] = torch.from_numpy(params[src + "ln_1_weight"].copy())
+        state[dst + "ln_1.bias"] = torch.from_numpy(params[src + "ln_1_bias"].copy())
+        state[dst + "self_attention.in_proj_weight"] = torch.from_numpy(
+            params[src + "self_attention_in_proj_weight"].copy()
+        )
+        state[dst + "self_attention.in_proj_bias"] = torch.from_numpy(
+            params[src + "self_attention_in_proj_bias"].copy()
+        )
+        state[dst + "self_attention.out_proj.weight"] = torch.from_numpy(
+            params[src + "self_attention_out_proj_weight"].copy()
+        )
+        state[dst + "self_attention.out_proj.bias"] = torch.from_numpy(
+            params[src + "self_attention_out_proj_bias"].copy()
+        )
+        state[dst + "ln_2.weight"] = torch.from_numpy(params[src + "ln_2_weight"].copy())
+        state[dst + "ln_2.bias"] = torch.from_numpy(params[src + "ln_2_bias"].copy())
+        state[dst + "mlp.0.weight"] = torch.from_numpy(params[src + "mlp_0_weight"].copy())
+        state[dst + "mlp.0.bias"] = torch.from_numpy(params[src + "mlp_0_bias"].copy())
+        state[dst + "mlp.3.weight"] = torch.from_numpy(params[src + "mlp_3_weight"].copy())
+        state[dst + "mlp.3.bias"] = torch.from_numpy(params[src + "mlp_3_bias"].copy())
+    return state
+
+
+def _to_hf_state(params):
+    d = CFG.embed_dim
+    state = {
+        "vit.embeddings.cls_token": params["class_token"].reshape(1, 1, d),
+        "vit.embeddings.patch_embeddings.projection.weight": params["conv_proj_weight"],
+        "vit.embeddings.patch_embeddings.projection.bias": params["conv_proj_bias"],
+        "vit.embeddings.position_embeddings": params["encoder_pos_embedding"].reshape(
+            1, CFG.num_tokens, d
+        ),
+        "vit.layernorm.weight": params["encoder_ln_weight"],
+        "vit.layernorm.bias": params["encoder_ln_bias"],
+        "classifier.weight": params["heads_head_weight"],
+        "classifier.bias": params["heads_head_bias"],
+    }
+    for i in range(CFG.depth):
+        src = f"encoder_layers_encoder_layer_{i}_"
+        dst = f"vit.encoder.layer.{i}."
+        in_w = params[src + "self_attention_in_proj_weight"]
+        in_b = params[src + "self_attention_in_proj_bias"]
+        state[dst + "attention.attention.query.weight"] = in_w[:d]
+        state[dst + "attention.attention.key.weight"] = in_w[d : 2 * d]
+        state[dst + "attention.attention.value.weight"] = in_w[2 * d :]
+        state[dst + "attention.attention.query.bias"] = in_b[:d]
+        state[dst + "attention.attention.key.bias"] = in_b[d : 2 * d]
+        state[dst + "attention.attention.value.bias"] = in_b[2 * d :]
+        state[dst + "attention.output.dense.weight"] = params[
+            src + "self_attention_out_proj_weight"
+        ]
+        state[dst + "attention.output.dense.bias"] = params[
+            src + "self_attention_out_proj_bias"
+        ]
+        state[dst + "layernorm_before.weight"] = params[src + "ln_1_weight"]
+        state[dst + "layernorm_before.bias"] = params[src + "ln_1_bias"]
+        state[dst + "layernorm_after.weight"] = params[src + "ln_2_weight"]
+        state[dst + "layernorm_after.bias"] = params[src + "ln_2_bias"]
+        state[dst + "intermediate.dense.weight"] = params[src + "mlp_0_weight"]
+        state[dst + "intermediate.dense.bias"] = params[src + "mlp_0_bias"]
+        state[dst + "output.dense.weight"] = params[src + "mlp_3_weight"]
+        state[dst + "output.dense.bias"] = params[src + "mlp_3_bias"]
+    return state
+
+
+def test_torchvision_roundtrip(named_params, tmp_path):
+    state = _to_torchvision_state(named_params)
+    converted = export.from_torchvision_state_dict(state, CFG)
+    for name in converted:
+        np.testing.assert_array_equal(converted[name], named_params[name])
+    files = export.export_weights(converted, tmp_path / "Network", CFG)
+    assert files[0] == "Weight_0_class_token.bin"
+    loaded = binfmt.load_weights(tmp_path / "Network", CFG, round_to_6dp=False,
+                                 strict=True)
+    named = binfmt.weights_to_dict(loaded, CFG)
+    for name in named_params:
+        np.testing.assert_array_equal(named[name], named_params[name])
+
+
+def test_hf_roundtrip_same_model_output(named_params, tmp_path):
+    """HF-naming conversion must produce identical golden predictions."""
+    state = _to_hf_state(named_params)
+    converted = export.from_hf_state_dict(state, CFG)
+    images = fixtures.random_images(CFG, n=1, seed=6)
+    ref = golden.golden_forward(images, named_params, CFG)
+    got = golden.golden_forward(images, converted, CFG)
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_export_validates_shapes(named_params):
+    state = _to_torchvision_state(named_params)
+    state["conv_proj.weight"] = state["conv_proj.weight"][:, :2]  # corrupt
+    with pytest.raises(ValueError, match="conv_proj_weight"):
+        export.from_torchvision_state_dict(state, CFG)
+
+
+def test_export_missing_key(named_params):
+    state = _to_torchvision_state(named_params)
+    del state["encoder.ln.weight"]
+    with pytest.raises(KeyError):
+        export.from_torchvision_state_dict(state, CFG)
+
+
+def test_export_from_pretrained_offline_error(tmp_path):
+    with pytest.raises(RuntimeError, match="no network|not available|local"):
+        export.export_from_pretrained(
+            "google/vit-definitely-not-cached", tmp_path, CFG
+        )
