@@ -82,6 +82,50 @@ def test_blockwise_attention_matches_single_pass(t):
     np.testing.assert_allclose(np.asarray(blockwise), ref, atol=2e-5)
 
 
+def _ref_packed(qkv, nh, hd):
+    b, t, _ = qkv.shape
+    d = nh * hd
+    out = np.zeros((b, t, d), np.float32)
+    for i in range(b):
+        for h in range(nh):
+            q = qkv[i, :, h * hd:(h + 1) * hd] / np.sqrt(hd)
+            k = qkv[i, :, d + h * hd: d + (h + 1) * hd]
+            v = qkv[i, :, 2 * d + h * hd: 2 * d + (h + 1) * hd]
+            s = q @ k.T
+            s -= s.max(1, keepdims=True)
+            p = np.exp(s)
+            p /= p.sum(1, keepdims=True)
+            out[i, :, h * hd:(h + 1) * hd] = p @ v
+    return out
+
+
+def test_packed_attention_ragged_route():
+    """Small blocks take the unpadded (ragged-tile) route."""
+    r = rng()
+    qkv = r.standard_normal((2, 197, 3 * 64)).astype(np.float32)
+    cfg = ViTConfig(name="t", img_size=32, patch_size=8, embed_dim=64,
+                    depth=1, num_heads=4)
+    out = attention.packed_fused_attention(jnp.asarray(qkv), cfg, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out), _ref_packed(qkv, 4, 16), atol=2e-5
+    )
+
+
+def test_packed_attention_padded_route():
+    """Big blocks (ViT-L @384 shape) take the padded+masked route."""
+    r = rng()
+    nh, hd, t = 16, 64, 577
+    d = nh * hd
+    cfg = ViTConfig(name="l", img_size=384, patch_size=16, embed_dim=d,
+                    depth=1, num_heads=nh)
+    qkv = (r.standard_normal((1, t, 3 * d)) * 0.3).astype(np.float32)
+    # fp32 qkv block = 577*3072*4 = 7.1 MB > 2 MB threshold → padded route.
+    out = attention.packed_fused_attention(jnp.asarray(qkv), cfg, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out), _ref_packed(qkv, nh, hd), atol=2e-5
+    )
+
+
 def test_single_pass_heads_per_cell_divisor():
     """n=b*h not divisible by the default heads-per-cell must still work."""
     r = rng()

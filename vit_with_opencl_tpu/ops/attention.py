@@ -270,32 +270,47 @@ def flash_attention_interpret(q, k, v, config):
 
 def _packed_kernel(qkv_ref, o_ref, *, scale: float, seq_len: int,
                    num_heads: int, head_dim: int, images_per_cell: int):
-    """qkv block [images_per_cell, t_pad, 3*H*hd] (packed q|k|v, head-major
-    within each) → ctx block [images_per_cell, t_pad, H*hd].
+    """qkv block [images_per_cell, T, 3*H*hd] (packed q|k|v, head-major
+    within each) → ctx block [images_per_cell, T, H*hd].
 
     All per-head slices are static offsets into VMEM — the head loop is
     unrolled at trace time. Scores/softmax stay in registers/VMEM; nothing
-    [T, T]-shaped ever reaches HBM.
+    [T, T]-shaped ever reaches HBM. Blocks are deliberately UNPADDED: Mosaic
+    masks ragged tile tails itself, which measures ~35% faster at T=197 than
+    padding to 256 (and removes the pad/slice HBM round trips entirely).
     """
     d = num_heads * head_dim
+    t_in = qkv_ref.shape[1]
+    if t_in != seq_len:
+        # Padded route: additive mask for the zero-padded KV tail, hoisted
+        # once per cell (shared by every head/image).
+        col = jax.lax.broadcasted_iota(jnp.int32, (t_in, t_in), 1)
+        neg = jnp.where(col < seq_len, 0.0, MASK_VALUE).astype(jnp.float32)
     for img in range(images_per_cell):
-        qkv = qkv_ref[img]  # [t_pad, 3D]
+        qkv = qkv_ref[img]  # [T, 3D]
         for h in range(num_heads):
-            q = qkv[:, h * head_dim:(h + 1) * head_dim]
+            # Scale q (T x hd muls) instead of the scores (T^2).
+            q = qkv[:, h * head_dim:(h + 1) * head_dim] * jnp.asarray(
+                scale, qkv.dtype
+            )
             k = qkv[:, d + h * head_dim: d + (h + 1) * head_dim]
             v = qkv[:, 2 * d + h * head_dim: 2 * d + (h + 1) * head_dim]
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ) * scale
-            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-            s = jnp.where(col < seq_len, s, MASK_VALUE)
+            )
+            if t_in != seq_len:
+                s = s + neg
             m = jnp.max(s, axis=1, keepdims=True)
             p = jnp.exp(s - m)
-            p = p / jnp.sum(p, axis=1, keepdims=True)
-            o_ref[img, :, h * head_dim:(h + 1) * head_dim] = jax.lax.dot(
+            # Normalize the (T x hd) output, not the (T^2) weights.
+            inv = 1.0 / jnp.sum(p, axis=1, keepdims=True)
+            o = jax.lax.dot(
                 p.astype(v.dtype), v, preferred_element_type=jnp.float32
-            ).astype(o_ref.dtype)
+            )
+            o_ref[img, :, h * head_dim:(h + 1) * head_dim] = (o * inv).astype(
+                o_ref.dtype
+            )
 
 
 def packed_fused_attention(
@@ -320,11 +335,27 @@ def packed_fused_attention(
     d = nh * hd
     assert three_d == 3 * d, (three_d, d)
     scale = float(1.0 / np.sqrt(hd))
-    t_pad = max(_cdiv(t, 128) * 128, 128)
-    if t_pad != t:
-        qkv = jnp.pad(qkv, ((0, 0), (0, t_pad - t), (0, 0)))
+    # Ragged (unpadded) blocks are fastest at @224 scale — Mosaic masks the
+    # tile tails and the pad/slice HBM round trips disappear — but its
+    # internal relayout buffers for misaligned rows blow the 16 MB scoped
+    # VMEM limit once the qkv block gets big (empirically: 577x3072 OOMs,
+    # 197x2304 is comfortable). Route by block size; pad above the knee.
+    qkv_block_bytes = t * 3 * d * qkv.dtype.itemsize
+    ragged_ok = qkv_block_bytes <= (2 << 20)
+    t_in = t
+    if not ragged_ok:
+        t_kernel = max(_cdiv(t, 128) * 128, 128)
+        if t_kernel != t:
+            qkv = jnp.pad(qkv, ((0, 0), (0, t_kernel - t), (0, 0)))
+        t_in = t_kernel
+
+    t_tile = _cdiv(t_in, 128) * 128  # tile footprint for VMEM budgeting
     if images_per_cell is None:
-        images_per_cell = max(1, min(4, b))
+        # Fit the block set in a conservative VMEM budget (scoped limit 16 MB,
+        # Mosaic double-buffers blocks and keeps softmax temporaries).
+        per_image = 4 * t_tile * d * qkv.dtype.itemsize  # qkv(3D) + ctx(D)
+        fixed = 3 * t_tile * t_tile * 4  # scores + exp + normalized (fp32)
+        images_per_cell = int(max(1, min(4, b, ((6 << 20) - fixed) // per_image)))
     while b % images_per_cell:
         images_per_cell -= 1
 
@@ -336,18 +367,22 @@ def packed_fused_attention(
         kernel,
         grid=(b // images_per_cell,),
         in_specs=[
-            pl.BlockSpec((images_per_cell, t_pad, 3 * d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((images_per_cell, t_in, 3 * d), lambda i: (i, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((images_per_cell, t_pad, d), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, t_pad, d), qkv.dtype),
+        out_specs=pl.BlockSpec((images_per_cell, t_in, d), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, t_in, d), qkv.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
+            # The default 16 MB scoped limit is conservative (v5e VMEM is far
+            # larger); the unrolled head loop's overlapped temporaries need
+            # ~31 MB at ViT-L @384 scale.
+            vmem_limit_bytes=32 << 20,
         ),
         cost_estimate=pl.CostEstimate(
-            flops=4 * b * nh * t_pad * t_pad * hd,
-            bytes_accessed=4 * b * t_pad * d * qkv.dtype.itemsize,
-            transcendentals=b * nh * t_pad * t_pad,
+            flops=4 * b * nh * t_in * t_in * hd,
+            bytes_accessed=4 * b * t_in * d * qkv.dtype.itemsize,
+            transcendentals=b * nh * t_in * t_in,
         ),
         interpret=interpret,
     )(qkv)
-    return out[:, :t] if t_pad != t else out
+    return out[:, :t] if t_in != t else out
