@@ -1,0 +1,57 @@
+"""NaN-guard / debug helpers."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vit_with_opencl_tpu import ViTConfig
+from vit_with_opencl_tpu.debug import checked_forward, find_nan
+from vit_with_opencl_tpu.engine import InferenceEngine
+from vit_with_opencl_tpu.harness import fixtures
+
+CFG = ViTConfig(name="dbg", img_size=32, patch_size=8, embed_dim=48, depth=1,
+                num_heads=4, num_classes=5)
+
+
+def test_find_nan_clean():
+    tree = {"a": jnp.ones((3, 3)), "b": jnp.zeros(4)}
+    assert find_nan(tree) == []
+
+
+def test_find_nan_reports_leaf():
+    tree = {"a": jnp.ones(3), "b": jnp.array([1.0, jnp.nan, jnp.inf])}
+    hits = find_nan(tree, name="params")
+    assert len(hits) == 1
+    path, nans, infs = hits[0]
+    assert "b" in path and nans == 1 and infs == 1
+
+
+def test_checked_forward_raises():
+    f = checked_forward(lambda x: x / 0.0, what="div")
+    with pytest.raises(FloatingPointError, match="non-finite"):
+        f(jnp.ones(4))
+    ok = checked_forward(lambda x: x * 2, what="mul")
+    np.testing.assert_array_equal(np.asarray(ok(jnp.ones(3))), 2.0)
+
+
+def test_engine_check_numerics_clean_path():
+    params = fixtures.random_params(CFG, seed=0, scale=0.05)
+    images = fixtures.random_images(CFG, n=2, seed=0)
+    engine = InferenceEngine(
+        CFG, params, batch_size=2, param_dtype=jnp.float32,
+        compute_dtype=jnp.float32, check_numerics=True,
+    )
+    probs = engine.run(images)
+    assert np.isfinite(probs).all()
+
+
+def test_engine_check_numerics_catches_bad_weights():
+    params = fixtures.random_params(CFG, seed=0, scale=0.05)
+    params["heads_head_weight"] = params["heads_head_weight"] * np.float32("inf")
+    images = fixtures.random_images(CFG, n=2, seed=0)
+    engine = InferenceEngine(
+        CFG, params, batch_size=2, param_dtype=jnp.float32,
+        compute_dtype=jnp.float32, check_numerics=True,
+    )
+    with pytest.raises(FloatingPointError):
+        engine.run(images)

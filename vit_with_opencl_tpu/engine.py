@@ -56,6 +56,7 @@ class InferenceEngine:
         compute_dtype: jnp.dtype = jnp.bfloat16,
         attention_impl: str = "xla",
         device: Optional[Any] = None,
+        check_numerics: bool = False,
     ):
         self.config = config
         self.batch_size = int(batch_size)
@@ -72,6 +73,12 @@ class InferenceEngine:
                 images, params, config, compute_dtype=compute_dtype, kernels=kernels
             )
 
+        if check_numerics:
+            # NaN guard (the reference's findNaN, ViT_opencl.c:1050-1061, as
+            # an always-on option instead of commented-out call sites).
+            from .debug import checked_forward
+
+            _forward = checked_forward(_forward, what=f"{config.name} forward")
         self._forward = _forward
         self.setup_time = time.perf_counter() - t0
         self._compiled = False
