@@ -72,10 +72,18 @@ def main():
           file=sys.stderr)
 
     kernels = vit.resolve_kernels(attention_impl)
-    fwd = jax.jit(
-        lambda im, p: vit.forward(im, p, cfg, compute_dtype=jnp.bfloat16,
-                                  kernels=kernels)
-    )
+    if cfg.head_type == "none":
+        # Bare tower (CLIP vision trunk): benchmark feature extraction.
+        fwd = jax.jit(
+            lambda im, p: vit.forward_features(
+                im, p, cfg, compute_dtype=jnp.bfloat16, kernels=kernels
+            )[:, 0]
+        )
+    else:
+        fwd = jax.jit(
+            lambda im, p: vit.forward(im, p, cfg, compute_dtype=jnp.bfloat16,
+                                      kernels=kernels)
+        )
 
     t0 = time.perf_counter()
     np.asarray(fwd(images, params)[0, :1])

@@ -126,6 +126,38 @@ def test_packed_attention_padded_route():
     )
 
 
+def test_packed_attention_per_head_packing():
+    """per_head packing ([h0:(q|k|v), h1:(q|k|v), ...], the TP layout) must
+    agree with slab packing after reordering columns."""
+    r = rng()
+    nh, hd, t = 4, 16, 33
+    d = nh * hd
+    cfg = ViTConfig(name="t", img_size=32, patch_size=8, embed_dim=64,
+                    depth=1, num_heads=nh)
+    qkv_slab = r.standard_normal((2, t, 3 * d)).astype(np.float32)
+    # reorder slab -> per_head
+    per_head = np.concatenate(
+        [
+            np.concatenate(
+                [
+                    qkv_slab[:, :, s * d + h * hd:s * d + (h + 1) * hd]
+                    for s in range(3)
+                ],
+                axis=-1,
+            )
+            for h in range(nh)
+        ],
+        axis=-1,
+    )
+    a = attention.packed_fused_attention(jnp.asarray(qkv_slab), cfg,
+                                         interpret=True)
+    b = attention.packed_fused_attention(
+        jnp.asarray(per_head), num_heads=nh, head_dim=hd, packing="per_head",
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
 def test_single_pass_heads_per_cell_divisor():
     """n=b*h not divisible by the default heads-per-cell must still work."""
     r = rng()

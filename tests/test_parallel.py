@@ -42,6 +42,18 @@ def test_tp_forward_matches_golden(setup):
     np.testing.assert_allclose(np.asarray(probs), ref, atol=1e-5)
 
 
+def test_tp_forward_flash_kernel_matches_golden(setup):
+    """TP path with the packed Pallas attention kernel (per-head packing)."""
+    stacked, images, ref = setup
+    mesh = spmd.make_mesh(data=2, model=2)
+    params = spmd.shard_params_tp(stacked, mesh, CFG)
+    probs = spmd.tp_forward(
+        jnp.asarray(images), params, CFG, mesh, compute_dtype=jnp.float32,
+        attention_impl="flash",
+    )
+    np.testing.assert_allclose(np.asarray(probs), ref, atol=1e-5)
+
+
 def test_tp_layout_reorder_roundtrip(setup):
     stacked, _, _ = setup
     tp = spmd.to_tp_layout(stacked, CFG)

@@ -43,6 +43,9 @@ def main(argv=None) -> int:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--input", default="./Data/input-100.bin",
                         help="packed image binary (header + NCHW fp32)")
+    parser.add_argument("--raw-images", nargs="+", default=None,
+                        help="raw image files (jpg/png/...): preprocess with "
+                        "torchvision semantics instead of reading --input")
     parser.add_argument("--weights", default="./Network",
                         help="directory of Weight_<idx>_<name>.bin files")
     parser.add_argument("--output", default="./Data/opencl_result.txt",
@@ -73,8 +76,18 @@ def main(argv=None) -> int:
         nio = get_native_io()
 
     t0 = time.perf_counter()
-    if nio is not None:
+    if args.raw_images:
+        from .io import preprocess
+
+        images = preprocess.preprocess_files(
+            args.raw_images, img_size=cfg.img_size,
+            resize_size=round(cfg.img_size * 256 / 224),
+        )
+    elif nio is not None:
         images = nio.load_images(args.input)
+    else:
+        images = binfmt.load_image_data(args.input)
+    if nio is not None:
         weights = nio.load_weights(
             args.weights,
             len(binfmt.weight_names(cfg)),
@@ -82,7 +95,6 @@ def main(argv=None) -> int:
             strict=True,
         )
     else:
-        images = binfmt.load_image_data(args.input)
         weights = binfmt.load_weights(
             args.weights, cfg, round_to_6dp=not args.no_round_weights, strict=True
         )

@@ -21,6 +21,7 @@ negative value — the same zero-pad-the-tail idea as the reference's GEMM
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -269,7 +270,8 @@ def flash_attention_interpret(q, k, v, config):
 
 
 def _packed_kernel(qkv_ref, o_ref, *, scale: float, seq_len: int,
-                   num_heads: int, head_dim: int, images_per_cell: int):
+                   num_heads: int, head_dim: int, images_per_cell: int,
+                   packing: str = "slab"):
     """qkv block [images_per_cell, T, 3*H*hd] (packed q|k|v, head-major
     within each) → ctx block [images_per_cell, T, H*hd].
 
@@ -289,12 +291,18 @@ def _packed_kernel(qkv_ref, o_ref, *, scale: float, seq_len: int,
     for img in range(images_per_cell):
         qkv = qkv_ref[img]  # [T, 3D]
         for h in range(num_heads):
+            if packing == "slab":
+                # q|k|v slabs of D each, head-major within (the reference's
+                # packed-QKV buffer layout, multihead.cl:21-22).
+                qo, ko, vo = (h * head_dim, d + h * head_dim,
+                              2 * d + h * head_dim)
+            else:  # "per_head": [h0:(q|k|v), h1:(q|k|v), ...] — the TP layout
+                qo = h * 3 * head_dim
+                ko, vo = qo + head_dim, qo + 2 * head_dim
             # Scale q (T x hd muls) instead of the scores (T^2).
-            q = qkv[:, h * head_dim:(h + 1) * head_dim] * jnp.asarray(
-                scale, qkv.dtype
-            )
-            k = qkv[:, d + h * head_dim: d + (h + 1) * head_dim]
-            v = qkv[:, 2 * d + h * head_dim: 2 * d + (h + 1) * head_dim]
+            q = qkv[:, qo:qo + head_dim] * jnp.asarray(scale, qkv.dtype)
+            k = qkv[:, ko:ko + head_dim]
+            v = qkv[:, vo:vo + head_dim]
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -315,8 +323,11 @@ def _packed_kernel(qkv_ref, o_ref, *, scale: float, seq_len: int,
 
 def packed_fused_attention(
     qkv: jax.Array,
-    config: ViTConfig,
+    config: Optional[ViTConfig] = None,
     *,
+    num_heads: Optional[int] = None,
+    head_dim: Optional[int] = None,
+    packing: str = "slab",
     images_per_cell: int | None = None,
     interpret: bool | None = None,
 ) -> jax.Array:
@@ -331,9 +342,12 @@ def packed_fused_attention(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     b, t, three_d = qkv.shape
-    nh, hd = config.num_heads, config.head_dim
+    nh = num_heads if num_heads is not None else config.num_heads
+    hd = head_dim if head_dim is not None else config.head_dim
     d = nh * hd
     assert three_d == 3 * d, (three_d, d)
+    if packing not in ("slab", "per_head"):
+        raise ValueError(f"unknown packing {packing!r}")
     scale = float(1.0 / np.sqrt(hd))
     # Ragged (unpadded) blocks are fastest at @224 scale — Mosaic masks the
     # tile tails and the pad/slice HBM round trips disappear — but its
@@ -361,7 +375,7 @@ def packed_fused_attention(
 
     kernel = functools.partial(
         _packed_kernel, scale=scale, seq_len=t, num_heads=nh, head_dim=hd,
-        images_per_cell=images_per_cell,
+        images_per_cell=images_per_cell, packing=packing,
     )
     out = pl.pallas_call(
         kernel,

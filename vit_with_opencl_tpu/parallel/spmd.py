@@ -126,10 +126,17 @@ def _tp_block(h, lp, config: ViTConfig, n_model: int, kernels):
     # row-parallel out-proj + psum.
     x = kernels["layer_norm"](h, lp["ln1_w"], lp["ln1_b"], config.eps)
     qkv = jnp.dot(x, lp["qkv_w"], preferred_element_type=jnp.float32)
-    qkv = (qkv + lp["qkv_b"]).astype(h.dtype)
-    qkv = qkv.reshape(b, t, nh_loc, 3, hd).transpose(3, 0, 2, 1, 4)  # [3,B,nh,T,hd]
-    ctx = kernels["attention"](qkv[0], qkv[1], qkv[2], config)
-    ctx = ctx.transpose(0, 2, 1, 3).reshape(b, t, nh_loc * hd)
+    qkv = (qkv + lp["qkv_b"]).astype(h.dtype)  # [B, T, nh_loc*3*hd] head-major
+    if "attention_packed" in kernels:
+        from ..ops.attention import packed_fused_attention
+
+        ctx = packed_fused_attention(
+            qkv, num_heads=nh_loc, head_dim=hd, packing="per_head"
+        )  # [B, T, nh_loc*hd]
+    else:
+        qkv = qkv.reshape(b, t, nh_loc, 3, hd).transpose(3, 0, 2, 1, 4)
+        ctx = kernels["attention"](qkv[0], qkv[1], qkv[2], config)
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(b, t, nh_loc * hd)
     partial = jnp.dot(ctx, lp["out_w"], preferred_element_type=jnp.float32)
     attn_out = jax.lax.psum(partial, "model") + lp["out_b"]
     h = h + attn_out.astype(h.dtype)
