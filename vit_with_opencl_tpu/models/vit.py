@@ -53,23 +53,34 @@ def stack_params(
     (the reference stores PyTorch ``[out, in]`` and reads it transposed inside
     its GEMM — ll.cl:47); LN parameters and biases stay fp32 — they feed fp32
     epilogues and cost nothing.
-    """
-    f32 = jnp.float32
 
-    def w(name, dtype=param_dtype):
-        return jnp.asarray(named[name], dtype=dtype)
+    The entire pytree is built on the HOST (numpy, ml_dtypes bf16) — callers
+    transfer it with one ``jax.device_put``. Eager per-tensor ``jnp.asarray``
+    would dispatch ~150 tiny device programs, which is pathological on
+    tunneled runtimes (observed: minutes of setup vs seconds).
+    """
+    import ml_dtypes
+
+    f32 = np.float32
+    np_param_dtype = (
+        ml_dtypes.bfloat16 if jnp.dtype(param_dtype) == jnp.bfloat16
+        else np.dtype(jnp.dtype(param_dtype).name)
+    )
+
+    def w(name, dtype=None):
+        return np.asarray(named[name], dtype=dtype if dtype is not None
+                          else np_param_dtype)
 
     d = config.embed_dim
     prefix_tokens = [np.asarray(named["class_token"], np.float32).reshape(1, d)]
     if config.num_prefix_tokens > 1:
         prefix_tokens.append(np.asarray(named["dist_token"], np.float32).reshape(1, d))
     params: Params = {
-        "prefix_tokens": jnp.asarray(np.concatenate(prefix_tokens, 0), f32),
+        "prefix_tokens": np.concatenate(prefix_tokens, 0).astype(f32),
         # conv [D, C, P, P] → [C*P*P, D] so patchify output right-multiplies.
-        "patch_w": jnp.asarray(
-            np.asarray(named["conv_proj_weight"], np.float32).reshape(d, -1).T,
-            param_dtype,
-        ),
+        "patch_w": np.ascontiguousarray(
+            np.asarray(named["conv_proj_weight"], np.float32).reshape(d, -1).T
+        ).astype(np_param_dtype),
         "patch_b": w("conv_proj_bias", f32),
         "pos_emb": w("encoder_pos_embedding", f32),
         "final_ln_w": w("encoder_ln_weight", f32),
@@ -79,24 +90,25 @@ def stack_params(
         params["pre_ln_w"] = w("encoder_pre_ln_weight", f32)
         params["pre_ln_b"] = w("encoder_pre_ln_bias", f32)
     if config.head_type != "none":
-        params["head_w"] = jnp.asarray(
-            np.asarray(named["heads_head_weight"], np.float32).T, param_dtype
-        )
+        params["head_w"] = np.ascontiguousarray(
+            np.asarray(named["heads_head_weight"], np.float32).T
+        ).astype(np_param_dtype)
         params["head_b"] = w("heads_head_bias", f32)
     if config.head_type == "cls+dist":
-        params["head_dist_w"] = jnp.asarray(
-            np.asarray(named["heads_head_dist_weight"], np.float32).T, param_dtype
-        )
+        params["head_dist_w"] = np.ascontiguousarray(
+            np.asarray(named["heads_head_dist_weight"], np.float32).T
+        ).astype(np_param_dtype)
         params["head_dist_b"] = w("heads_head_dist_bias", f32)
 
-    def stack(key, transpose=False, dtype=param_dtype):
+    def stack(key, transpose=False, dtype=None):
+        dtype = dtype if dtype is not None else np_param_dtype
         arrs = []
         for layer in range(config.depth):
             a = np.asarray(
                 named[f"encoder_layers_encoder_layer_{layer}_{key}"], np.float32
             )
             arrs.append(a.T if transpose else a)
-        return jnp.asarray(np.stack(arrs), dtype=dtype)
+        return np.stack(arrs).astype(dtype)
 
     params["layers"] = {
         "ln1_w": stack("ln_1_weight", dtype=f32),
