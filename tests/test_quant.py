@@ -1,0 +1,81 @@
+"""Weight-only int8 quantization."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vit_with_opencl_tpu import ViTConfig
+from vit_with_opencl_tpu.engine import InferenceEngine
+from vit_with_opencl_tpu.harness import fixtures
+from vit_with_opencl_tpu.models import golden, quant, vit
+
+CFG = ViTConfig(name="q", img_size=32, patch_size=8, embed_dim=64, depth=2,
+                num_heads=4, num_classes=19)
+
+
+def test_quantize_roundtrip_error_bounded():
+    w = np.random.default_rng(0).standard_normal((64, 128)).astype(np.float32) * 0.3
+    qw = quant.quantize_weight(w)
+    assert qw["q"].dtype == np.int8
+    assert qw["scale"].shape == (1, 128)
+    deq = quant.dequantize_weight(qw)
+    # per-channel absmax/127 → error bounded by scale/2 per element
+    assert np.all(np.abs(deq - w) <= qw["scale"] / 2 + 1e-7)
+
+
+def test_zero_channel_safe():
+    w = np.zeros((8, 16), np.float32)
+    qw = quant.quantize_weight(w)
+    assert np.all(qw["q"] == 0)
+    np.testing.assert_array_equal(quant.dequantize_weight(qw), w)
+
+
+def test_stacked_quantization_shapes():
+    params = vit.stack_params(fixtures.random_params(CFG, seed=0), CFG,
+                              param_dtype=jnp.float32)
+    qp = quant.quantize_stacked_params(params, CFG)
+    assert qp["layers"]["qkv_w"]["q"].shape == (CFG.depth, 64, 192)
+    assert qp["layers"]["qkv_w"]["scale"].shape == (CFG.depth, 1, 192)
+    assert qp["patch_w"]["q"].dtype == np.int8
+    # LN params untouched
+    np.testing.assert_array_equal(qp["layers"]["ln1_w"], params["layers"]["ln1_w"])
+
+
+def test_matmul_q_matches_dequantized():
+    r = np.random.default_rng(1)
+    x = jnp.asarray(r.standard_normal((5, 64)).astype(np.float32))
+    w = r.standard_normal((64, 32)).astype(np.float32) * 0.2
+    b = jnp.asarray(r.standard_normal(32).astype(np.float32))
+    qw = quant.quantize_weight(w)
+    got = np.asarray(quant.matmul_q(x, {"q": jnp.asarray(qw["q"]),
+                                        "scale": jnp.asarray(qw["scale"])}, b))
+    want = np.asarray(x) @ quant.dequantize_weight(qw) + np.asarray(b)
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_quantized_forward_close_to_golden():
+    params_named = fixtures.random_params(CFG, seed=3, scale=0.05)
+    images = fixtures.random_images(CFG, n=2, seed=3)
+    ref = golden.golden_forward(images, params_named, CFG)
+    stacked = vit.stack_params(params_named, CFG, param_dtype=jnp.float32)
+    qp = quant.quantize_stacked_params(stacked, CFG)
+    probs = np.asarray(
+        vit.forward(jnp.asarray(images), qp, CFG, compute_dtype=jnp.float32)
+    )
+    # int8 weights: looser than bf16, must stay within the comparator gate.
+    assert np.abs(probs - ref).max() < 5e-3
+    assert (probs.argmax(-1) == ref.argmax(-1)).all()
+
+
+def test_engine_int8_end_to_end():
+    params_named = fixtures.random_params(CFG, seed=4, scale=0.05)
+    images = fixtures.random_images(CFG, n=3, seed=4)
+    ref = golden.golden_forward(images, params_named, CFG)
+    engine = InferenceEngine(
+        CFG, params_named, batch_size=4, param_dtype=jnp.float32,
+        compute_dtype=jnp.float32, quantize="int8",
+    )
+    probs = engine.run(images)
+    assert np.abs(probs - ref).max() < 5e-3
+    with pytest.raises(ValueError, match="unknown quantize"):
+        InferenceEngine(CFG, params_named, quantize="int4")

@@ -23,7 +23,8 @@ from .io.labels import IMAGENET_LABELS
 
 
 def _run_backend(backend: str, images: np.ndarray, params, cfg,
-                 batch_size: int, attention: str = "xla") -> np.ndarray:
+                 batch_size: int, attention: str = "xla",
+                 quantize=None) -> np.ndarray:
     if backend == "golden":
         from .models import golden
 
@@ -32,7 +33,8 @@ def _run_backend(backend: str, images: np.ndarray, params, cfg,
         from .engine import InferenceEngine
 
         engine = InferenceEngine(
-            cfg, params, batch_size=batch_size, attention_impl=attention
+            cfg, params, batch_size=batch_size, attention_impl=attention,
+            quantize=quantize,
         )
         return engine.run(images)
     else:
@@ -59,6 +61,8 @@ def main(argv=None) -> int:
     parser.add_argument("--attention", choices=["xla", "flash"], default="xla",
                         help="attention core: XLA einsum chain or the fused "
                         "Pallas flash kernel")
+    parser.add_argument("--quantize", choices=["int8"], default=None,
+                        help="weight-only quantization for the tpu backend")
     parser.add_argument("--no-round-weights", action="store_true",
                         help="skip the reference's 6-decimal weight rounding")
     parser.add_argument("--print-labels", action="store_true",
@@ -106,7 +110,7 @@ def main(argv=None) -> int:
     print("=====================Start========================")
     t0 = time.perf_counter()
     probs = _run_backend(args.backend, images, params, cfg, args.batch_size,
-                         args.attention)
+                         args.attention, args.quantize)
     elapsed = time.perf_counter() - t0
     n = images.shape[0]
     print(f"Elapsed time: {elapsed:.4f} sec ({n / elapsed:.2f} images/sec)")

@@ -57,6 +57,7 @@ class InferenceEngine:
         attention_impl: str = "xla",
         device: Optional[Any] = None,
         check_numerics: bool = False,
+        quantize: Optional[str] = None,
     ):
         self.config = config
         self.batch_size = int(batch_size)
@@ -64,6 +65,14 @@ class InferenceEngine:
         self.device = device if device is not None else jax.devices()[0]
         t0 = time.perf_counter()
         params = vit.stack_params(named_params, config, param_dtype=param_dtype)
+        if quantize == "int8":
+            # Weight-only int8 (models/quant.py): halves weight HBM footprint
+            # and upload traffic; compute stays on the bf16 MXU.
+            from .models import quant
+
+            params = quant.quantize_stacked_params(params, config)
+        elif quantize is not None:
+            raise ValueError(f"unknown quantize mode {quantize!r}")
         self.params = jax.device_put(params, self.device)
         kernels = vit.resolve_kernels(attention_impl)
 

@@ -268,12 +268,16 @@ def _gelu(x: jax.Array, config: ViTConfig) -> jax.Array:
     return gelu_erf(x)
 
 
-def _matmul(x: jax.Array, w: jax.Array, b: Optional[jax.Array]) -> jax.Array:
-    """x @ w (+ b) with fp32 accumulation; result in x's dtype."""
-    out = jnp.dot(x, w, preferred_element_type=jnp.float32)
-    if b is not None:
-        out = out + b
-    return out.astype(x.dtype)
+def _matmul(x: jax.Array, w: Any, b: Optional[jax.Array]) -> jax.Array:
+    """x @ w (+ b) with fp32 accumulation; result in x's dtype.
+
+    Transparently supports int8 weight-only quantization (models/quant.py):
+    a {"q": int8, "scale": f32} weight runs as a bf16 MXU matmul with the
+    per-output-channel scale fused into the fp32 epilogue.
+    """
+    from . import quant
+
+    return quant.matmul_q(x, w, b)
 
 
 def xla_attention(
@@ -373,9 +377,17 @@ def embed(images: jax.Array, params: Params, config: ViTConfig,
 
     One MXU matmul plus an fp32 epilogue — the fused equivalent of the
     reference's ``conv2d_kernel`` + ``postprocess`` pair (conv2d.cl:1-80)."""
+    from . import quant
+
     b = images.shape[0]
-    patches = patchify(images, config).astype(params["patch_w"].dtype)
-    tok = jnp.dot(patches, params["patch_w"], preferred_element_type=jnp.float32)
+    patches = patchify(images, config).astype(compute_dtype)
+    pw = params["patch_w"]
+    if quant.is_quantized(pw):
+        tok = jnp.dot(patches, pw["q"].astype(compute_dtype),
+                      preferred_element_type=jnp.float32) * pw["scale"][0]
+    else:
+        tok = jnp.dot(patches, pw.astype(compute_dtype),
+                      preferred_element_type=jnp.float32)
     tok = tok + params["patch_b"]  # fp32 epilogue
     prefix = jnp.broadcast_to(
         params["prefix_tokens"][None], (b,) + params["prefix_tokens"].shape
@@ -435,14 +447,22 @@ def forward(
     )
     if config.head_type == "none":
         raise ValueError("head_type='none': use forward_features")
-    cls = feats[:, 0].astype(params["head_w"].dtype)
-    logits = jnp.dot(cls, params["head_w"], preferred_element_type=jnp.float32)
-    logits = logits + params["head_b"]
+    from . import quant
+
+    def head_logits(feat, w, bias):
+        x = feat.astype(compute_dtype)
+        if quant.is_quantized(w):
+            out = jnp.dot(x, w["q"].astype(compute_dtype),
+                          preferred_element_type=jnp.float32) * w["scale"][0]
+        else:
+            out = jnp.dot(x, w.astype(compute_dtype),
+                          preferred_element_type=jnp.float32)
+        return out + bias
+
+    logits = head_logits(feats[:, 0], params["head_w"], params["head_b"])
     if config.head_type == "cls+dist":
-        dist = feats[:, 1].astype(params["head_dist_w"].dtype)
-        dist_logits = (
-            jnp.dot(dist, params["head_dist_w"], preferred_element_type=jnp.float32)
-            + params["head_dist_b"]
+        dist_logits = head_logits(
+            feats[:, 1], params["head_dist_w"], params["head_dist_b"]
         )
         logits = 0.5 * (logits + dist_logits)
     if return_logits:
