@@ -101,3 +101,42 @@ def test_gspmd_train_step_runs_and_descends(setup):
         params, loss = step(params, imgs, labels)
     assert float(loss) < float(loss0)
     assert np.isfinite(float(loss))
+
+
+def test_pipeline_forward_matches_golden(setup):
+    from vit_with_opencl_tpu.parallel import pipeline
+
+    stacked, images, ref = setup
+    mesh = pipeline.make_pipe_mesh(2)  # 2 stages x 1 layer... depth=2
+    params = pipeline.shard_params_pp(stacked, mesh, CFG)
+    probs = pipeline.pp_forward(
+        jnp.asarray(images), params, CFG, mesh, n_microbatches=4,
+        compute_dtype=jnp.float32,
+    )
+    np.testing.assert_allclose(np.asarray(probs), ref, atol=1e-5)
+
+
+def test_pipeline_rejects_indivisible(setup):
+    from vit_with_opencl_tpu.parallel import pipeline
+
+    stacked, images, _ = setup
+    mesh = pipeline.make_pipe_mesh(2)
+    params = pipeline.shard_params_pp(stacked, mesh, CFG)
+    with pytest.raises(ValueError, match="microbatches"):
+        pipeline.pp_forward(jnp.asarray(images), params, CFG, mesh,
+                            n_microbatches=3)
+    mesh5 = pipeline.make_pipe_mesh(5)
+    with pytest.raises(ValueError, match="pipeline stages"):
+        pipeline.shard_params_pp(stacked, mesh5, CFG)
+
+
+def test_sp_forward_matches_golden(setup):
+    """Sequence/context parallelism: tokens sharded over 'model' (17 tokens
+    pad to 20 across 4 shards), KV all-gathered with padding masked."""
+    stacked, images, ref = setup
+    mesh = spmd.make_mesh(data=2, model=4)
+    params = jax.device_put(stacked)
+    probs = spmd.sp_forward(
+        jnp.asarray(images), stacked, CFG, mesh, compute_dtype=jnp.float32
+    )
+    np.testing.assert_allclose(np.asarray(probs), ref, atol=1e-5)

@@ -1,3 +1,4 @@
+from .pipeline import make_pipe_mesh, pp_forward, shard_params_pp  # noqa: F401
 from .spmd import (  # noqa: F401
     dp_forward_fn,
     gspmd_param_specs,
@@ -5,6 +6,7 @@ from .spmd import (  # noqa: F401
     make_train_step,
     shard_params_gspmd,
     shard_params_tp,
+    sp_forward,
     to_tp_layout,
     tp_forward,
     tp_pspecs,

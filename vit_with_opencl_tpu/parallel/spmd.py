@@ -206,6 +206,112 @@ def tp_forward(
 
 
 # ---------------------------------------------------------------------------
+# Sequence/context-parallel forward (tokens sharded over "model")
+# ---------------------------------------------------------------------------
+#
+# Every ViT op except the attention core is per-token independent, so the
+# token axis shards cleanly: LN, QKV/out-proj/MLP matmuls and residuals run
+# on local token slices. Attention needs all KV positions: each shard
+# all-gathers K/V (the guide's "all-gather + local attention" context
+# parallelism — at ViT lengths the gather is tiny; ring attention becomes
+# worthwhile only at orders-of-magnitude longer sequences).
+
+
+def _sp_attention(q, k_loc, v_loc, config: ViTConfig, seq_len: int):
+    """q: local [B, H, T_loc, hd]; K/V local shards → gathered full-T.
+    Masks gathered padding tokens (token axis is padded to shard evenly)."""
+    k = jax.lax.all_gather(k_loc, "model", axis=2, tiled=True)
+    v = jax.lax.all_gather(v_loc, "model", axis=2, tiled=True)
+    scale = np.float32(1.0 / np.sqrt(config.head_dim))
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    s = s * scale
+    kv_pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 3)
+    s = jnp.where(kv_pos < seq_len, s, -0.7 * np.finfo(np.float32).max)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum(
+        "bhqk,bhkd->bhqd", p.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    ).astype(v.dtype)
+
+
+def sp_forward(
+    images: jax.Array,
+    params: Params,
+    config: ViTConfig,
+    mesh: Mesh,
+    *,
+    compute_dtype: jnp.dtype = jnp.float32,
+    return_logits: bool = False,
+):
+    """Sequence-parallel forward: token axis sharded over "model", batch over
+    "data". Params replicated (pair with TP in later rounds if needed)."""
+    n_model = mesh.shape["model"]
+    t = config.num_tokens
+    t_pad = -(-t // n_model) * n_model
+    nh, hd = config.num_heads, config.head_dim
+    pspecs = jax.tree.map(lambda _: P(), params)
+
+    def fn(imgs, p):
+        x = vit.embed(imgs, p, config, compute_dtype)  # [B_loc, T, D]
+        if config.pre_norm:
+            x = vit.layer_norm(x, p["pre_ln_w"], p["pre_ln_b"], config.eps)
+        b = x.shape[0]
+        if t_pad != t:
+            x = jnp.pad(x, ((0, 0), (0, t_pad - t), (0, 0)))
+        # take this shard's token slice
+        sidx = jax.lax.axis_index("model")
+        t_loc = t_pad // n_model
+        x = jax.lax.dynamic_slice_in_dim(x, sidx * t_loc, t_loc, axis=1)
+
+        def block(h, lp):
+            hh = vit.layer_norm(h, lp["ln1_w"], lp["ln1_b"], config.eps)
+            qkv = jnp.dot(hh, lp["qkv_w"], preferred_element_type=jnp.float32)
+            qkv = (qkv + lp["qkv_b"]).astype(h.dtype)
+            qkv = qkv.reshape(b, t_loc, 3, nh, hd).transpose(2, 0, 3, 1, 4)
+            ctx = _sp_attention(qkv[0], qkv[1], qkv[2], config, t)
+            ctx = ctx.transpose(0, 2, 1, 3).reshape(b, t_loc, nh * hd)
+            attn = jnp.dot(ctx, lp["out_w"], preferred_element_type=jnp.float32)
+            h = h + (attn + lp["out_b"]).astype(h.dtype)
+            hh = vit.layer_norm(h, lp["ln2_w"], lp["ln2_b"], config.eps)
+            hid = jnp.dot(hh, lp["fc1_w"], preferred_element_type=jnp.float32)
+            hid = vit.gelu_erf((hid + lp["fc1_b"]).astype(h.dtype))
+            mlp = jnp.dot(hid, lp["fc2_w"], preferred_element_type=jnp.float32)
+            h = h + (mlp + lp["fc2_b"]).astype(h.dtype)
+            return h, None
+
+        x, _ = jax.lax.scan(block, x, p["layers"])
+        x = vit.layer_norm(x, p["final_ln_w"], p["final_ln_b"], config.eps)
+        # Gather token shards; slice off padding.
+        full = jax.lax.all_gather(x, "model", axis=1, tiled=True)[:, :t]
+        feats = full.astype(jnp.float32)
+        cls = feats[:, 0].astype(compute_dtype)
+        logits = (
+            jnp.dot(cls, p["head_w"].astype(compute_dtype),
+                    preferred_element_type=jnp.float32) + p["head_b"]
+        )
+        if config.head_type == "cls+dist":
+            dist = feats[:, 1].astype(compute_dtype)
+            logits = 0.5 * (
+                logits
+                + jnp.dot(dist, p["head_dist_w"].astype(compute_dtype),
+                          preferred_element_type=jnp.float32)
+                + p["head_dist_b"]
+            )
+        if return_logits:
+            return logits
+        return jax.nn.softmax(logits, axis=-1)
+
+    shmapped = jax.shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(P("data"), pspecs),
+        out_specs=P("data"),
+        check_vma=False,
+    )
+    return jax.jit(shmapped)(images, params)
+
+
+# ---------------------------------------------------------------------------
 # Data-parallel inference (pjit/GSPMD — params replicated)
 # ---------------------------------------------------------------------------
 
