@@ -1,0 +1,92 @@
+"""Serving daemon: wire protocol, dynamic batching, error paths."""
+
+import threading
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vit_with_opencl_tpu import ViTConfig
+from vit_with_opencl_tpu.engine import InferenceEngine
+from vit_with_opencl_tpu.harness import fixtures
+from vit_with_opencl_tpu.models import golden
+from vit_with_opencl_tpu import serve
+
+CFG = ViTConfig(name="srv", img_size=32, patch_size=8, embed_dim=48, depth=1,
+                num_heads=4, num_classes=7)
+
+
+@pytest.fixture(scope="module")
+def server():
+    params = fixtures.random_params(CFG, seed=0, scale=0.05)
+    engine = InferenceEngine(
+        CFG, params, batch_size=4, param_dtype=jnp.float32,
+        compute_dtype=jnp.float32,
+    )
+    engine.warmup()
+    srv = serve.InferenceServer(engine, port=0, max_wait_ms=20.0)
+    srv.start_background()
+    yield srv, params
+    srv.shutdown()
+
+
+def _expected(params, images):
+    probs = golden.golden_forward(images, params, CFG)
+    return [(int(p.argmax()), float(p.max())) for p in probs]
+
+
+def test_single_request(server):
+    srv, params = server
+    images = fixtures.random_images(CFG, n=2, seed=1)
+    got = serve.classify(images, port=srv.address[1])
+    want = _expected(params, images)
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for g, w in zip(got, want):
+        assert abs(g[1] - w[1]) < 1e-4
+
+
+def test_concurrent_requests_are_batched(server):
+    srv, params = server
+    before = srv.batcher.batches_run
+    images = fixtures.random_images(CFG, n=8, seed=2)
+    results_out = [None] * 8
+    threads = []
+
+    def worker(i):
+        results_out[i] = serve.classify(images[i : i + 1], port=srv.address[1])[0]
+
+    for i in range(8):
+        t = threading.Thread(target=worker, args=(i,))
+        t.start()
+        threads.append(t)
+    for t in threads:
+        t.join()
+    want = _expected(params, images)
+    assert [r[0] for r in results_out] == [w[0] for w in want]
+    batches = srv.batcher.batches_run - before
+    # 8 images through a batch-4 engine: must have coalesced (< 8 batches).
+    assert batches < 8
+
+
+def test_bad_shape_reports_error(server):
+    srv, _ = server
+    wrong = np.zeros((1, 3, 16, 16), np.float32)
+    with pytest.raises(RuntimeError, match="ERROR: expected images"):
+        serve.classify(wrong, port=srv.address[1])
+
+
+def test_garbage_payload_keeps_server_alive(server):
+    import socket
+    import struct
+
+    srv, params = server
+    with socket.create_connection(("127.0.0.1", srv.address[1])) as sock:
+        payload = b"not an image binary at all"
+        sock.sendall(struct.pack("<I", len(payload)) + payload)
+        n = struct.unpack("<I", sock.recv(4))[0]
+        msg = sock.recv(n).decode()
+        assert msg.startswith("ERROR:")
+    # server still serves
+    images = fixtures.random_images(CFG, n=1, seed=3)
+    got = serve.classify(images, port=srv.address[1])
+    assert got[0][0] == _expected(params, images)[0][0]

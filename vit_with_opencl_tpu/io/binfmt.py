@@ -56,6 +56,21 @@ def load_image_data(path: str | os.PathLike) -> np.ndarray:
     return data.reshape(n, c, h, w)
 
 
+def load_image_data_bytes(payload: bytes) -> np.ndarray:
+    """Parse the packed image format from an in-memory buffer (same layout
+    as ``load_image_data``; used by the serving wire protocol)."""
+    if len(payload) < 16:
+        raise ValueError("truncated header (needed 4 int32)")
+    n, c, h, w = (int(x) for x in np.frombuffer(payload[:16], _HEADER_DTYPE))
+    if min(n, c, h, w) <= 0:
+        raise ValueError(f"bad header {(n, c, h, w)}")
+    expected = 16 + n * c * h * w * 4
+    if len(payload) != expected:
+        raise ValueError(f"expected {expected} bytes, got {len(payload)}")
+    data = np.frombuffer(payload, _DATA_DTYPE, offset=16)
+    return data.reshape(n, c, h, w).copy()
+
+
 def save_image_data(path: str | os.PathLike, images: np.ndarray) -> None:
     """Write images (n, c, h, w) in the reference's packed binary format."""
     if images.ndim != 4:

@@ -1,0 +1,237 @@
+"""Inference serving: a dynamic-batching TCP daemon.
+
+A production-deployment layer beyond the reference's one-shot batch CLI:
+clients stream packed image tensors over a socket; a batcher coalesces
+concurrent requests up to the engine's compiled batch size (or a deadline)
+so the TPU always sees full batches; results return in the reference's
+result-line format.
+
+Wire protocol (little-endian):
+  request:  uint32 payload_len | payload = the packed image binary
+            (4xint32 header (n, c, h, w) + n*c*h*w float32 — io/binfmt)
+  response: uint32 payload_len | payload = UTF-8 text, one
+            "[i] label: L / prob: P" line per image (Main.c:71 format),
+            or "ERROR: <msg>" on a bad request.
+
+Batching: requests enqueue individual images; a worker drains the queue into
+engine-sized batches, waiting at most ``max_wait_ms`` for stragglers — the
+TPU-native version of the reference's inter-image pipelining (its host
+enqueues all images without blocking, ViT_opencl.c:926-965).
+"""
+
+from __future__ import annotations
+
+import argparse
+import queue
+import socket
+import socketserver
+import struct
+import threading
+import time
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from . import config as config_lib
+from .harness import results
+from .io import binfmt
+
+_LEN = struct.Struct("<I")
+MAX_PAYLOAD = 1 << 30
+
+
+def _recv_exact(sock: socket.socket, n: int) -> bytes:
+    buf = b""
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        if not chunk:
+            raise ConnectionError("peer closed mid-message")
+        buf += chunk
+    return buf
+
+
+def _send_msg(sock: socket.socket, payload: bytes) -> None:
+    sock.sendall(_LEN.pack(len(payload)) + payload)
+
+
+def _recv_msg(sock: socket.socket) -> bytes:
+    (n,) = _LEN.unpack(_recv_exact(sock, 4))
+    if n > MAX_PAYLOAD:
+        raise ValueError(f"payload too large: {n}")
+    return _recv_exact(sock, n)
+
+
+class _Request:
+    __slots__ = ("image", "event", "label", "prob")
+
+    def __init__(self, image: np.ndarray):
+        self.image = image
+        self.event = threading.Event()
+        self.label: Optional[int] = None
+        self.prob: Optional[float] = None
+
+
+class Batcher:
+    """Coalesces single-image requests into engine-sized batches."""
+
+    def __init__(self, engine, max_wait_ms: float = 5.0):
+        self.engine = engine
+        self.max_wait = max_wait_ms / 1e3
+        self.q: "queue.Queue[_Request]" = queue.Queue()
+        self._stop = threading.Event()
+        self.batches_run = 0
+        self.images_served = 0
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def submit(self, image: np.ndarray) -> Tuple[int, float]:
+        req = _Request(image)
+        self.q.put(req)
+        req.event.wait()
+        return req.label, req.prob
+
+    def _loop(self):
+        bs = self.engine.batch_size
+        while not self._stop.is_set():
+            try:
+                first = self.q.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            batch = [first]
+            deadline = time.perf_counter() + self.max_wait
+            while len(batch) < bs:
+                remaining = deadline - time.perf_counter()
+                if remaining <= 0:
+                    break
+                try:
+                    batch.append(self.q.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            images = np.stack([r.image for r in batch])
+            probs = self.engine.run(images)
+            preds = results.argmax_predictions(probs)
+            for req, (label, prob) in zip(batch, preds):
+                req.label, req.prob = label, prob
+                req.event.set()
+            self.batches_run += 1
+            self.images_served += len(batch)
+
+    def stop(self):
+        self._stop.set()
+        self._thread.join(timeout=2)
+
+
+class InferenceServer:
+    """TCP server wrapping an InferenceEngine behind a Batcher."""
+
+    def __init__(self, engine, host: str = "127.0.0.1", port: int = 0,
+                 max_wait_ms: float = 5.0):
+        self.batcher = Batcher(engine, max_wait_ms)
+        self.engine = engine
+        batcher = self.batcher
+        expected = (engine.config.in_chans, engine.config.img_size,
+                    engine.config.img_size)
+
+        class Handler(socketserver.BaseRequestHandler):
+            def handle(self):
+                while True:
+                    try:
+                        payload = _recv_msg(self.request)
+                    except (ConnectionError, ValueError):
+                        return
+                    try:
+                        images = binfmt.load_image_data_bytes(payload)
+                        if images.shape[1:] != expected:
+                            raise ValueError(
+                                f"expected images of shape {expected}, "
+                                f"got {images.shape[1:]}"
+                            )
+                        lines = []
+                        for i in range(images.shape[0]):
+                            label, prob = batcher.submit(images[i])
+                            lines.append(
+                                results.format_result_line(i, label, prob)
+                            )
+                        _send_msg(self.request, "\n".join(lines).encode())
+                    except Exception as e:  # report, keep the connection
+                        _send_msg(self.request, f"ERROR: {e}".encode())
+
+        class Server(socketserver.ThreadingTCPServer):
+            allow_reuse_address = True
+            daemon_threads = True
+
+        self._server = Server((host, port), Handler)
+        self.address = self._server.server_address
+
+    def serve_forever(self):
+        self._server.serve_forever()
+
+    def start_background(self) -> threading.Thread:
+        t = threading.Thread(target=self._server.serve_forever, daemon=True)
+        t.start()
+        return t
+
+    def shutdown(self):
+        self._server.shutdown()
+        self._server.server_close()
+        self.batcher.stop()
+
+
+def classify(
+    images: np.ndarray, host: str = "127.0.0.1", port: int = 9876
+) -> List[Tuple[int, float]]:
+    """Client helper: send a [n, c, h, w] batch, return [(label, prob)]."""
+    payload = (
+        np.asarray(images.shape, "<i4").tobytes()
+        + np.ascontiguousarray(images, "<f4").tobytes()
+    )
+    with socket.create_connection((host, port)) as sock:
+        _send_msg(sock, payload)
+        text = _recv_msg(sock).decode()
+    if text.startswith("ERROR:"):
+        raise RuntimeError(text)
+    out = []
+    for line in text.splitlines():
+        parsed = results.parse_result_line(line)
+        if parsed:
+            out.append(parsed)
+    return out
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--weights", required=True)
+    parser.add_argument("--config", default="vit_b_16_224",
+                        choices=sorted(config_lib.PRESETS))
+    parser.add_argument("--host", default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=9876)
+    parser.add_argument("--batch-size", type=int, default=32)
+    parser.add_argument("--attention", choices=["xla", "flash"], default="flash")
+    parser.add_argument("--quantize", choices=["int8"], default=None)
+    parser.add_argument("--max-wait-ms", type=float, default=5.0)
+    args = parser.parse_args(argv)
+
+    from .engine import InferenceEngine
+
+    cfg = config_lib.get_config(args.config)
+    weights = binfmt.weights_to_dict(
+        binfmt.load_weights(args.weights, cfg, strict=True), cfg
+    )
+    engine = InferenceEngine(
+        cfg, weights, batch_size=args.batch_size,
+        attention_impl=args.attention, quantize=args.quantize,
+    )
+    compile_s = engine.warmup()
+    server = InferenceServer(engine, args.host, args.port,
+                             max_wait_ms=args.max_wait_ms)
+    print(f"serving {cfg.name} on {server.address} "
+          f"(batch={args.batch_size}, compile {compile_s:.1f}s)")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.shutdown()
+    return 0
+
+
+if __name__ == "__main__":  # pragma: no cover
+    raise SystemExit(main())
