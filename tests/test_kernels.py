@@ -236,11 +236,18 @@ def test_fused_linear_ragged_rows():
     np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4)
 
 
-def test_fused_linear_rejects_indivisible_k():
-    x = jnp.zeros((8, 768))
-    w = jnp.zeros((768, 128))
-    with pytest.raises(ValueError, match="multiples"):
-        linear.fused_linear(x, w, block_k=512, block_n=128, interpret=True)
+def test_fused_linear_classifier_head_shape():
+    """The 1000-class head (N not a multiple of any tile) must pad and slice
+    like the reference GEMM's ragged-tile zero-fill (ll.cl:37-51)."""
+    r = rng()
+    x = r.standard_normal((9, 768)).astype(np.float32)
+    w = (r.standard_normal((1000, 768)) * 0.05).astype(np.float32)  # [out, in]
+    b = r.standard_normal(1000).astype(np.float32)
+    out = linear.fused_linear(
+        jnp.asarray(x), jnp.asarray(w.T.copy()), jnp.asarray(b), interpret=True
+    )
+    assert out.shape == (9, 1000)
+    np.testing.assert_allclose(np.asarray(out), golden.linear(x, w, b), atol=2e-4)
 
 
 # ---------------------------------------------------------------------------

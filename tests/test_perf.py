@@ -19,9 +19,9 @@ def test_profile_ops_and_format():
     stages = profile_ops(CFG, params, images, compute_dtype=jnp.float32, iters=2)
     names = [s.name for s in stages]
     assert "attention_core" in names and "mlp_fc1_gelu" in names
-    assert all(s.total_ms >= 0 for s in stages)
+    assert all(s.per_call_ms >= 0 for s in stages)
     table = format_profile(stages, batch=4)
-    assert "attention_core" in table and "ms/img total" in table
+    assert "attention_core" in table and "ms/batch total" in table
 
 
 def test_throughput_report_math():

@@ -90,3 +90,36 @@ def test_garbage_payload_keeps_server_alive(server):
     images = fixtures.random_images(CFG, n=1, seed=3)
     got = serve.classify(images, port=srv.address[1])
     assert got[0][0] == _expected(params, images)[0][0]
+
+
+def test_engine_failure_fails_request_but_daemon_survives(server, monkeypatch):
+    """One bad batch must not brick the batcher or hang clients (review
+    finding: an unguarded engine.run killed the loop permanently)."""
+    srv, params = server
+    original = srv.batcher.engine.run
+    calls = {"n": 0}
+
+    def flaky(images):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise FloatingPointError("injected failure")
+        return original(images)
+
+    monkeypatch.setattr(srv.batcher.engine, "run", flaky)
+    images = fixtures.random_images(CFG, n=1, seed=9)
+    with pytest.raises(RuntimeError, match="inference failed"):
+        serve.classify(images, port=srv.address[1])
+    # Daemon still alive and correct afterwards.
+    got = serve.classify(images, port=srv.address[1])
+    assert got[0][0] == _expected(params, images)[0][0]
+
+
+def test_multi_image_payload_single_batch(server):
+    """An n-image payload must coalesce into ceil(n/bs) batches, not n
+    (review finding: per-image blocking submits defeated the batcher)."""
+    srv, params = server
+    before = srv.batcher.batches_run
+    images = fixtures.random_images(CFG, n=4, seed=10)  # == engine batch size
+    got = serve.classify(images, port=srv.address[1])
+    assert [g[0] for g in got] == [w[0] for w in _expected(params, images)]
+    assert srv.batcher.batches_run - before == 1

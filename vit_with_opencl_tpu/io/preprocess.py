@@ -14,7 +14,7 @@ a pure-NumPy fallback covers environments without it.
 from __future__ import annotations
 
 import os
-from typing import Iterable, List, Sequence
+from typing import Iterable, List, Optional, Sequence
 
 import numpy as np
 
@@ -44,7 +44,7 @@ def _resize_bilinear_np(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
 def preprocess_array(
     img: np.ndarray,
     img_size: int = 224,
-    resize_size: int = 256,
+    resize_size: Optional[int] = None,
     *,
     mean: np.ndarray = IMAGENET_MEAN,
     std: np.ndarray = IMAGENET_STD,
@@ -52,9 +52,17 @@ def preprocess_array(
     """HWC uint8 (or float [0,255]) → normalized CHW float32.
 
     torchvision classification preprocessing: resize shorter side to
-    ``resize_size`` (bilinear), center-crop ``img_size``, scale to [0,1],
-    normalize per channel.
+    ``resize_size`` (bilinear; default scales the classic 256-for-224 ratio
+    to the target size), center-crop ``img_size``, scale to [0,1], normalize
+    per channel.
     """
+    if resize_size is None:
+        resize_size = round(img_size * 256 / 224)
+    if resize_size < img_size:
+        raise ValueError(
+            f"resize_size {resize_size} < img_size {img_size}: the center "
+            f"crop would silently truncate (use resize_size ~= img_size*256/224)"
+        )
     if img.ndim == 2:
         img = np.stack([img] * 3, axis=-1)
     if img.shape[-1] == 4:
@@ -83,7 +91,7 @@ def preprocess_array(
 def preprocess_files(
     paths: Sequence[str | os.PathLike],
     img_size: int = 224,
-    resize_size: int = 256,
+    resize_size: Optional[int] = None,
 ) -> np.ndarray:
     """Image files → batch [n, 3, img_size, img_size] float32 (requires PIL)."""
     from PIL import Image
@@ -100,7 +108,7 @@ def images_to_input_bin(
     paths: Sequence[str | os.PathLike],
     out_path: str | os.PathLike,
     img_size: int = 224,
-    resize_size: int = 256,
+    resize_size: Optional[int] = None,
 ) -> np.ndarray:
     """Image files → a reference-format ``input.bin`` (header + NCHW fp32)."""
     from . import binfmt

@@ -209,9 +209,10 @@ def golden_features(
     for i in range(n):
         tok = patch_embed(images[i], params["conv_proj_weight"],
                           params["conv_proj_bias"], config)
-        x = np.concatenate(
-            [params["class_token"].reshape(1, d).astype(f32), tok], axis=0
-        )
+        prefix_rows = [params["class_token"].reshape(1, d).astype(f32)]
+        if config.num_prefix_tokens > 1:
+            prefix_rows.append(params["dist_token"].reshape(1, d).astype(f32))
+        x = np.concatenate(prefix_rows + [tok], axis=0)
         x = (x + params["encoder_pos_embedding"].astype(f32)).astype(f32)
         if config.pre_norm:
             x = layer_norm(x, params["encoder_pre_ln_weight"],

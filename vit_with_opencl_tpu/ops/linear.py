@@ -64,8 +64,9 @@ def fused_linear(
 
     x: [..., K] (leading dims flattened to M), w: [K, N] (right-multiply
     layout — the io layer already transposes PyTorch's [out, in]), b: [N].
-    M is padded to the tile size; K and N must divide their block sizes
-    (all reference shapes are multiples of 128; block sizes auto-shrink).
+    Every dimension is zero-padded to its block multiple and the result
+    sliced back (the same ragged-tile handling as the reference GEMM,
+    ll.cl:37-51) — e.g. the 1000-class classifier head pads N to 1024.
     """
     *lead, k_dim = x.shape
     m = int(np.prod(lead)) if lead else 1
@@ -73,21 +74,24 @@ def fused_linear(
     out_dtype = x.dtype
 
     block_m = min(block_m, _cdiv(m, 8) * 8 if m < block_m else block_m)
-    block_n = min(block_n, n_dim)
-    block_k = min(block_k, k_dim)
-    if k_dim % block_k or n_dim % block_n:
-        raise ValueError(
-            f"K={k_dim} and N={n_dim} must be multiples of block sizes "
-            f"({block_k}, {block_n})"
-        )
+    block_n = min(block_n, _cdiv(n_dim, 128) * 128)
+    block_k = min(block_k, _cdiv(k_dim, 128) * 128)
 
     x2 = x.reshape(m, k_dim)
     m_pad = _cdiv(m, block_m) * block_m
-    if m_pad != m:
-        x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
+    k_pad = _cdiv(k_dim, block_k) * block_k
+    n_pad = _cdiv(n_dim, block_n) * block_n
+    if m_pad != m or k_pad != k_dim:
+        x2 = jnp.pad(x2, ((0, m_pad - m), (0, k_pad - k_dim)))
+    if k_pad != k_dim or n_pad != n_dim:
+        w = jnp.pad(w, ((0, k_pad - k_dim), (0, n_pad - n_dim)))
     if b is None:
         b = jnp.zeros((n_dim,), jnp.float32)
-    b2 = jnp.broadcast_to(b.reshape(1, n_dim), (1, n_dim))
+    if n_pad != n_dim:
+        b = jnp.pad(b, (0, n_pad - n_dim))
+    b2 = jnp.broadcast_to(b.reshape(1, n_pad), (1, n_pad))
+    k_dim, n_dim_out = k_pad, n_dim
+    n_dim = n_pad
 
     num_k = k_dim // block_k
     kernel = functools.partial(_linear_kernel, num_k=num_k, fuse_gelu=fuse_gelu)
@@ -114,6 +118,6 @@ def fused_linear(
         interpret=interpret,
     )(x2, w, b2)
 
-    if m_pad != m:
-        out = out[:m]
-    return out.reshape(*lead, n_dim)
+    if m_pad != m or n_dim_out != n_dim:
+        out = out[:m, :n_dim_out]
+    return out.reshape(*lead, n_dim_out)

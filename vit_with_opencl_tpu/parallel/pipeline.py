@@ -147,11 +147,18 @@ def pp_forward(
             return logits
         return jax.nn.softmax(logits, axis=-1)
 
-    shmapped = jax.shard_map(
-        fn,
-        mesh=mesh,
-        in_specs=(P(), pspecs),
-        out_specs=P(),
-        check_vma=False,
-    )
-    return jax.jit(shmapped)(images, params)
+    def build():
+        return jax.jit(jax.shard_map(
+            fn,
+            mesh=mesh,
+            in_specs=(P(), pspecs),
+            out_specs=P(),
+            check_vma=False,
+        ))
+
+    from .spmd import _cached_program
+
+    cache_key = ("pp", config, mesh, n_microbatches, b,
+                 jnp.dtype(compute_dtype), attention_impl, return_logits,
+                 jax.tree.structure(params))
+    return _cached_program(cache_key, build)(images, params)

@@ -33,6 +33,18 @@ from ..models import vit
 
 Params = Dict[str, Any]
 
+# jax.jit caches on function identity; building a fresh shard_map closure per
+# call would retrace and recompile the whole model every invocation. Compiled
+# programs are memoized here instead, keyed on everything that shapes them.
+_PROGRAM_CACHE: Dict[Any, Any] = {}
+
+
+def _cached_program(key, builder):
+    fn = _PROGRAM_CACHE.get(key)
+    if fn is None:
+        fn = _PROGRAM_CACHE[key] = builder()
+    return fn
+
 
 # ---------------------------------------------------------------------------
 # Mesh
@@ -170,6 +182,10 @@ def tp_forward(
     kernels = vit.resolve_kernels(attention_impl)
     pspecs = tp_pspecs(params, config)
 
+    cache_key = ("tp", config, mesh, jnp.dtype(compute_dtype),
+                 attention_impl, return_logits,
+                 jax.tree.structure(params))
+
     def fwd(imgs, p):
         x = vit.embed(imgs, p, config, compute_dtype)
         if config.pre_norm:
@@ -195,14 +211,16 @@ def tp_forward(
             return logits
         return jax.nn.softmax(logits, axis=-1)
 
-    shmapped = jax.shard_map(
-        fwd,
-        mesh=mesh,
-        in_specs=(P("data"), pspecs),
-        out_specs=P("data"),
-        check_vma=False,
-    )
-    return jax.jit(shmapped)(images, params)
+    def build():
+        return jax.jit(jax.shard_map(
+            fwd,
+            mesh=mesh,
+            in_specs=(P("data"), pspecs),
+            out_specs=P("data"),
+            check_vma=False,
+        ))
+
+    return _cached_program(cache_key, build)(images, params)
 
 
 # ---------------------------------------------------------------------------
@@ -250,6 +268,9 @@ def sp_forward(
     t_pad = -(-t // n_model) * n_model
     nh, hd = config.num_heads, config.head_dim
     pspecs = jax.tree.map(lambda _: P(), params)
+
+    cache_key = ("sp", config, mesh, jnp.dtype(compute_dtype), return_logits,
+                 jax.tree.structure(params))
 
     def fn(imgs, p):
         x = vit.embed(imgs, p, config, compute_dtype)  # [B_loc, T, D]
@@ -301,14 +322,16 @@ def sp_forward(
             return logits
         return jax.nn.softmax(logits, axis=-1)
 
-    shmapped = jax.shard_map(
-        fn,
-        mesh=mesh,
-        in_specs=(P("data"), pspecs),
-        out_specs=P("data"),
-        check_vma=False,
-    )
-    return jax.jit(shmapped)(images, params)
+    def build():
+        return jax.jit(jax.shard_map(
+            fn,
+            mesh=mesh,
+            in_specs=(P("data"), pspecs),
+            out_specs=P("data"),
+            check_vma=False,
+        ))
+
+    return _cached_program(cache_key, build)(images, params)
 
 
 # ---------------------------------------------------------------------------

@@ -49,13 +49,17 @@ def _fence(x) -> None:
 
 @dataclasses.dataclass
 class OpProfile:
+    """One pipeline stage's timing: per-call wall ms (for the whole batch)
+    and how many times the op runs per image's forward pass."""
+
     name: str
-    calls: int
-    total_ms: float
+    calls_per_image: int
+    per_call_ms: float
 
     @property
-    def avg_ms(self) -> float:
-        return self.total_ms / max(self.calls, 1)
+    def per_image_total_ms(self) -> float:
+        """Total ms this op contributes to one batch's forward pass."""
+        return self.per_call_ms * self.calls_per_image
 
 
 def _time_op(fn: Callable, args, iters: int) -> float:
@@ -148,21 +152,22 @@ def profile_ops(
 
 
 def format_profile(stages: List[OpProfile], batch: int) -> str:
-    """The reference reporter's shape (per-op total/average), per batch."""
+    """The reference reporter's shape (per-op totals/averages). Per-call
+    timings cover the whole batch; the total column is ms per batch."""
     lines = [
-        f"{'op':<24}{'calls/img':>10}{'ms/call':>12}{'ms/img total':>14}",
-        "-" * 60,
+        f"{'op':<24}{'calls/img':>10}{'ms/call':>12}{'ms/batch total':>15}",
+        "-" * 61,
     ]
     total = 0.0
     for s in stages:
-        per_img_total = s.total_ms * s.calls
-        total += per_img_total
+        total += s.per_image_total_ms
         lines.append(
-            f"{s.name:<24}{s.calls:>10}{s.total_ms:>12.3f}{per_img_total:>14.3f}"
+            f"{s.name:<24}{s.calls_per_image:>10}{s.per_call_ms:>12.3f}"
+            f"{s.per_image_total_ms:>15.3f}"
         )
-    lines.append("-" * 60)
+    lines.append("-" * 61)
     lines.append(f"{'sum (batch of ' + str(batch) + ')':<24}{'':>10}{'':>12}"
-                 f"{total:>14.3f}")
+                 f"{total:>15.3f}")
     return "\n".join(lines)
 
 

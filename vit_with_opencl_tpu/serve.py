@@ -62,13 +62,14 @@ def _recv_msg(sock: socket.socket) -> bytes:
 
 
 class _Request:
-    __slots__ = ("image", "event", "label", "prob")
+    __slots__ = ("image", "event", "label", "prob", "error")
 
     def __init__(self, image: np.ndarray):
         self.image = image
         self.event = threading.Event()
         self.label: Optional[int] = None
         self.prob: Optional[float] = None
+        self.error: Optional[Exception] = None
 
 
 class Batcher:
@@ -84,11 +85,25 @@ class Batcher:
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
-    def submit(self, image: np.ndarray) -> Tuple[int, float]:
+    def submit_async(self, image: np.ndarray) -> _Request:
+        """Enqueue one image; caller waits on the returned request's event.
+        Multi-image payloads must enqueue everything before waiting so a
+        single connection can fill a whole batch."""
+        if self._stop.is_set():
+            raise RuntimeError("batcher is shut down")
         req = _Request(image)
         self.q.put(req)
+        return req
+
+    @staticmethod
+    def wait(req: _Request) -> Tuple[int, float]:
         req.event.wait()
+        if req.error is not None:
+            raise RuntimeError(f"inference failed: {req.error}")
         return req.label, req.prob
+
+    def submit(self, image: np.ndarray) -> Tuple[int, float]:
+        return self.wait(self.submit_async(image))
 
     def _loop(self):
         bs = self.engine.batch_size
@@ -107,18 +122,34 @@ class Batcher:
                     batch.append(self.q.get(timeout=remaining))
                 except queue.Empty:
                     break
-            images = np.stack([r.image for r in batch])
-            probs = self.engine.run(images)
-            preds = results.argmax_predictions(probs)
-            for req, (label, prob) in zip(batch, preds):
-                req.label, req.prob = label, prob
-                req.event.set()
-            self.batches_run += 1
-            self.images_served += len(batch)
+            try:
+                images = np.stack([r.image for r in batch])
+                probs = self.engine.run(images)
+                preds = results.argmax_predictions(probs)
+                for req, (label, prob) in zip(batch, preds):
+                    req.label, req.prob = label, prob
+                    req.event.set()
+                self.batches_run += 1
+                self.images_served += len(batch)
+            except Exception as e:
+                # Fail this batch's requests; keep serving. One bad batch
+                # must not brick the daemon or hang its clients.
+                for req in batch:
+                    req.error = e
+                    req.event.set()
+        # Drain: fail anything still queued so no waiter hangs on shutdown.
+        shutdown_err = RuntimeError("server shut down")
+        while True:
+            try:
+                req = self.q.get_nowait()
+            except queue.Empty:
+                break
+            req.error = shutdown_err
+            req.event.set()
 
     def stop(self):
         self._stop.set()
-        self._thread.join(timeout=2)
+        self._thread.join(timeout=5)
 
 
 class InferenceServer:
@@ -146,9 +177,15 @@ class InferenceServer:
                                 f"expected images of shape {expected}, "
                                 f"got {images.shape[1:]}"
                             )
+                        # Enqueue the whole payload before waiting, so one
+                        # connection's n images can fill a batch together.
+                        reqs = [
+                            batcher.submit_async(images[i])
+                            for i in range(images.shape[0])
+                        ]
                         lines = []
-                        for i in range(images.shape[0]):
-                            label, prob = batcher.submit(images[i])
+                        for i, req in enumerate(reqs):
+                            label, prob = Batcher.wait(req)
                             lines.append(
                                 results.format_result_line(i, label, prob)
                             )
