@@ -316,3 +316,26 @@ def test_forward_with_flash_kernels_matches_golden():
         kernels=kernels,
     )
     np.testing.assert_allclose(np.asarray(probs), ref, atol=1e-5)
+
+
+@pytest.mark.parametrize("t", [197, 64])
+def test_ring_attention_matches_reference(t):
+    """Ring attention over a 4-device ring == plain attention (incl. a T that
+    doesn't divide the ring and needs masked padding)."""
+    import jax
+    from jax.sharding import Mesh
+    from vit_with_opencl_tpu.ops import ring_attention as ra
+
+    mesh = Mesh(np.array(jax.devices()[:4]), axis_names=("model",))
+    r = rng()
+    q = r.standard_normal((2, 3, t, 32)).astype(np.float32)
+    k = r.standard_normal((2, 3, t, 32)).astype(np.float32)
+    v = r.standard_normal((2, 3, t, 32)).astype(np.float32)
+    cfg = ViTConfig(name="r", img_size=32, patch_size=8, embed_dim=96,
+                    depth=1, num_heads=3)
+    # cfg.head_dim is 32 for this config
+    out = ra.ring_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                            cfg, mesh)
+    ref = _ref_attention(q / np.sqrt(cfg.head_dim) * np.sqrt(cfg.head_dim),
+                         k, v, cfg.head_dim)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5)

@@ -140,3 +140,22 @@ def test_sp_forward_matches_golden(setup):
         jnp.asarray(images), stacked, CFG, mesh, compute_dtype=jnp.float32
     )
     np.testing.assert_allclose(np.asarray(probs), ref, atol=1e-5)
+
+
+def test_multihost_mesh_single_process(setup):
+    """Hybrid mesh construction degrades to a plain mesh when single-process;
+    DP inference over it matches golden."""
+    from vit_with_opencl_tpu.parallel import multihost
+
+    multihost.initialize()  # no-op single process
+    mesh = multihost.make_hybrid_mesh(model=2)
+    assert mesh.shape == {"data": 4, "model": 2}
+    with pytest.raises(ValueError, match="must divide"):
+        multihost.make_hybrid_mesh(model=3)
+    with pytest.raises(ValueError, match="exceeds local"):
+        multihost.make_hybrid_mesh(model=16)
+    stacked, images, ref = setup
+    params = spmd.shard_params_tp(stacked, mesh, CFG)
+    probs = spmd.tp_forward(jnp.asarray(images), params, CFG, mesh,
+                            compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(probs), ref, atol=1e-5)

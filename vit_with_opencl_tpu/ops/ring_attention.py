@@ -1,0 +1,132 @@
+"""Ring attention: context parallelism with communication/compute overlap.
+
+For sequences long enough that all-gathering K/V (parallel/spmd.sp_forward)
+is too expensive, ring attention keeps K/V sharded: each device holds one
+sequence shard, computes blockwise attention against the block it currently
+holds, and rotates that block to its ring neighbor with ``jax.lax.ppermute``
+while maintaining online-softmax statistics (running max m, running sum l,
+rescaled accumulator) — the same rescaling identity as the flash kernel
+(ops/attention.py), applied across devices instead of across tiles. After
+N−1 rotations every query shard has attended to every KV position; total
+bytes moved equal one all-gather, but as neighbor-to-neighbor transfers that
+overlap with the matmuls.
+
+Not needed at the reference's 197 tokens (or even 577): the BASELINE configs
+are served by the single-chip flash kernel and all-gather SP. This is the
+scaling path past ~100K tokens, validated for correctness on the virtual
+mesh against the golden math.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ViTConfig
+
+MASK_VALUE = -0.7 * float(np.finfo(np.float32).max)
+
+
+def ring_attention_shard(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    axis_name: str,
+    scale: float,
+    seq_len: Optional[int] = None,
+    shard_tokens: Optional[int] = None,
+) -> jax.Array:
+    """Per-shard ring attention body (call inside shard_map).
+
+    q, k, v: this device's sequence shard, [B, H, T_loc, hd]; the sequence
+    axis is sharded over ``axis_name``. ``seq_len`` masks global positions
+    >= seq_len (padding added to make T divide the ring size). Returns the
+    attention output for the local query shard.
+    """
+    n = jax.lax.psum(1, axis_name)
+    my_idx = jax.lax.axis_index(axis_name)
+    b, h, t_loc, hd = q.shape
+    if shard_tokens is None:
+        shard_tokens = t_loc
+    perm = [(i, (i + 1) % n) for i in range(n)]
+
+    m = jnp.full((b, h, t_loc, 1), -jnp.inf, jnp.float32)
+    l = jnp.zeros((b, h, t_loc, 1), jnp.float32)
+    acc = jnp.zeros((b, h, t_loc, hd), jnp.float32)
+
+    def step(carry, step_idx):
+        m, l, acc, k_blk, v_blk = carry
+        # Which shard this KV block originated from (global position mask).
+        src = (my_idx - step_idx) % n
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, k_blk,
+                       preferred_element_type=jnp.float32) * scale
+        if seq_len is not None:
+            kv_pos = (
+                jax.lax.broadcasted_iota(jnp.int32, s.shape, 3)
+                + src * shard_tokens
+            )
+            s = jnp.where(kv_pos < seq_len, s, MASK_VALUE)
+        m_curr = jnp.max(s, axis=-1, keepdims=True)
+        m_next = jnp.maximum(m, m_curr)
+        alpha = jnp.exp(m - m_next)
+        p = jnp.exp(s - m_next)
+        l = alpha * l + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jnp.einsum(
+            "bhqk,bhkd->bhqd", p.astype(v_blk.dtype), v_blk,
+            preferred_element_type=jnp.float32,
+        )
+        # Rotate KV to the next device; the compiler overlaps this transfer
+        # with the next step's matmuls (it is pure neighbor traffic).
+        k_blk = jax.lax.ppermute(k_blk, axis_name, perm)
+        v_blk = jax.lax.ppermute(v_blk, axis_name, perm)
+        return (m_next, l, acc, k_blk, v_blk), None
+
+    (m, l, acc, _, _), _ = jax.lax.scan(
+        step, (m, l, acc, k, v), jnp.arange(n)
+    )
+    l = jnp.where(l == 0.0, 1.0, l)
+    return (acc / l).astype(q.dtype)
+
+
+def ring_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    config: ViTConfig,
+    mesh,
+    *,
+    axis_name: str = "model",
+) -> jax.Array:
+    """Convenience wrapper: full [B, H, T, hd] in, ring-sharded compute.
+
+    Pads T to divide the ring, shards the sequence axis over ``axis_name``,
+    runs the ring, gathers the output. For production long-context use, keep
+    activations sharded and call ``ring_attention_shard`` inside your own
+    shard_map instead of round-tripping through full arrays.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    n = mesh.shape[axis_name]
+    b, h, t, hd = q.shape
+    t_pad = -(-t // n) * n
+    if t_pad != t:
+        pad = [(0, 0), (0, 0), (0, t_pad - t), (0, 0)]
+        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+    scale = float(1.0 / np.sqrt(config.head_dim))
+
+    def fn(q, k, v):
+        return ring_attention_shard(
+            q, k, v, axis_name=axis_name, scale=scale, seq_len=t,
+            shard_tokens=t_pad // n,
+        )
+
+    in_spec = P(None, None, axis_name, None)
+    out = jax.jit(jax.shard_map(
+        fn, mesh=mesh, in_specs=(in_spec, in_spec, in_spec),
+        out_specs=in_spec, check_vma=False,
+    ))(q, k, v)
+    return out[:, :, :t] if t_pad != t else out

@@ -1,3 +1,4 @@
+from .multihost import initialize as initialize_multihost, make_hybrid_mesh  # noqa: F401
 from .pipeline import make_pipe_mesh, pp_forward, shard_params_pp  # noqa: F401
 from .spmd import (  # noqa: F401
     dp_forward_fn,
