@@ -339,3 +339,27 @@ def test_ring_attention_matches_reference(t):
     ref = _ref_attention(q / np.sqrt(cfg.head_dim) * np.sqrt(cfg.head_dim),
                          k, v, cfg.head_dim)
     np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5)
+
+
+def test_packed_attention_trainable_grads():
+    """Custom-VJP flash: Pallas forward, rematerialized XLA backward — grads
+    must match differentiating the pure-jnp math directly."""
+    from vit_with_opencl_tpu.ops.attention import (
+        _packed_reference_math,
+        packed_fused_attention_trainable,
+    )
+
+    r = rng()
+    nh, hd, t = 4, 16, 33
+    qkv = jnp.asarray(r.standard_normal((2, t, 3 * nh * hd)).astype(np.float32))
+
+    def loss_pallas(x):
+        return jnp.sum(packed_fused_attention_trainable(x, nh, hd) ** 2)
+
+    def loss_ref(x):
+        return jnp.sum(_packed_reference_math(x, nh, hd) ** 2)
+
+    v_p, g_p = jax.value_and_grad(loss_pallas)(qkv)
+    v_r, g_r = jax.value_and_grad(loss_ref)(qkv)
+    np.testing.assert_allclose(float(v_p), float(v_r), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_r), atol=1e-4)

@@ -265,6 +265,58 @@ def flash_attention_interpret(q, k, v, config):
 
 
 # ---------------------------------------------------------------------------
+# Differentiable packed attention (custom VJP)
+# ---------------------------------------------------------------------------
+#
+# Pallas kernels have no automatic gradient. For training with the fused
+# forward, the backward pass recomputes attention with plain XLA einsum math
+# and differentiates that — flash-attention-style rematerialization: nothing
+# [T, T]-shaped is saved as a residual, only the (tiny) qkv input is.
+
+
+def _packed_reference_math(qkv: jax.Array, num_heads: int, head_dim: int):
+    """Packed [B, T, 3D] attention in differentiable jnp ops (slab packing)."""
+    b, t, _ = qkv.shape
+    d = num_heads * head_dim
+    q, k, v = qkv[..., :d], qkv[..., d:2 * d], qkv[..., 2 * d:]
+
+    def split(x):
+        return x.reshape(b, t, num_heads, head_dim).transpose(0, 2, 1, 3)
+
+    q, k, v = split(q), split(k), split(v)
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    s = s * (1.0 / np.sqrt(head_dim))
+    p = jax.nn.softmax(s, axis=-1)
+    o = jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v,
+                   preferred_element_type=jnp.float32).astype(qkv.dtype)
+    return o.transpose(0, 2, 1, 3).reshape(b, t, d)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def packed_fused_attention_trainable(qkv, num_heads: int, head_dim: int):
+    """Differentiable wrapper: Pallas fused forward, rematerialized XLA
+    backward. Use in training loops; inference should call
+    ``packed_fused_attention`` directly."""
+    return packed_fused_attention(qkv, num_heads=num_heads, head_dim=head_dim)
+
+
+def _trainable_fwd(qkv, num_heads, head_dim):
+    out = packed_fused_attention(qkv, num_heads=num_heads, head_dim=head_dim)
+    return out, qkv
+
+
+def _trainable_bwd(num_heads, head_dim, qkv, g):
+    _, vjp = jax.vjp(
+        lambda x: _packed_reference_math(x, num_heads, head_dim), qkv
+    )
+    (dqkv,) = vjp(g)
+    return (dqkv,)
+
+
+packed_fused_attention_trainable.defvjp(_trainable_fwd, _trainable_bwd)
+
+
+# ---------------------------------------------------------------------------
 # Packed-layout fused attention: consumes the QKV projection's natural output
 # ---------------------------------------------------------------------------
 
