@@ -296,7 +296,9 @@ def _packed_reference_math(qkv: jax.Array, num_heads: int, head_dim: int):
 def packed_fused_attention_trainable(qkv, num_heads: int, head_dim: int):
     """Differentiable wrapper: Pallas fused forward, rematerialized XLA
     backward. Use in training loops; inference should call
-    ``packed_fused_attention`` directly."""
+    ``packed_fused_attention`` directly. First-order reverse-mode only
+    (a standard custom_vjp restriction — use ``_packed_reference_math`` if
+    higher-order derivatives are ever needed)."""
     return packed_fused_attention(qkv, num_heads=num_heads, head_dim=head_dim)
 
 
