@@ -70,3 +70,22 @@ def test_compare_reference_golden_files(reference_root):
     res = os.path.join(reference_root, "Data", "opencl_result.txt")
     ans = os.path.join(reference_root, "Data", "answer_result.txt")
     assert results.compare_result_files(res, ans) == 0
+
+
+def test_evaluate_accuracy():
+    probs = np.array([
+        [0.1, 0.7, 0.2, 0.0],   # pred 1
+        [0.5, 0.1, 0.3, 0.1],   # pred 0
+        [0.2, 0.3, 0.1, 0.4],   # pred 3
+    ], np.float32)
+    acc = results.evaluate_accuracy(probs, [1, 2, 3], topk=(1, 2))
+    assert acc["top1"] == pytest.approx(2 / 3)
+    assert acc["top2"] == pytest.approx(3 / 3)  # label 2 is 2nd for row 1
+    with pytest.raises(ValueError, match="labels"):
+        results.evaluate_accuracy(probs, [1])
+
+
+def test_load_label_file(tmp_path):
+    p = tmp_path / "labels.txt"
+    p.write_text("5\n7\n\n9\n")
+    assert results.load_label_file(p) == [5, 7, 9]

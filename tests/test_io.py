@@ -2,6 +2,7 @@
 
 import os
 
+import jax
 import numpy as np
 import pytest
 
@@ -129,3 +130,23 @@ def test_variant_weight_maps():
     assert "heads_head_weight" not in clip_names
     shapes = binfmt.weight_shapes(DEIT_B_16_224)
     assert shapes["encoder_pos_embedding"] == (198, 768)
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    """Framework-native checkpoints: stacked pytree round-trips via Orbax."""
+    import jax.numpy as jnp
+
+    from vit_with_opencl_tpu.io import checkpoint
+    from vit_with_opencl_tpu.models import vit
+    from vit_with_opencl_tpu import ViTConfig
+
+    cfg = ViTConfig(name="ck", img_size=32, patch_size=8, embed_dim=48,
+                    depth=1, num_heads=4, num_classes=5)
+    params = vit.stack_params(fixtures.random_params(cfg, seed=0), cfg,
+                              param_dtype=jnp.float32)
+    path = tmp_path / "ckpt"
+    checkpoint.save_checkpoint(path, params)
+    restored = checkpoint.load_checkpoint(path, like=params)
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -54,6 +54,9 @@ def main(argv=None) -> int:
                         help="result file to write")
     parser.add_argument("--answer", default=None,
                         help="golden answer file to compare against (optional)")
+    parser.add_argument("--label-file", default=None,
+                        help="ground-truth labels (one class id per line): "
+                        "report top-1/top-5 accuracy")
     parser.add_argument("--backend", choices=["golden", "tpu"], default="tpu")
     parser.add_argument("--config", default="vit_b_16_224",
                         choices=sorted(config_lib.PRESETS))
@@ -119,6 +122,13 @@ def main(argv=None) -> int:
     if args.print_labels:
         for i, (label, prob) in enumerate(preds):
             print(f"[{i}] {IMAGENET_LABELS[label]} ({label}): {prob:.6f}")
+
+    if args.label_file:
+        acc = results.evaluate_accuracy(
+            probs, results.load_label_file(args.label_file)
+        )
+        print(f"accuracy: top-1 {acc['top1']*100:.2f}%  "
+              f"top-5 {acc['top5']*100:.2f}%  (n={acc['n']})")
 
     if args.answer:
         errors = results.compare_result_files(args.output, args.answer)

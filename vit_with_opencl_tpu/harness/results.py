@@ -58,6 +58,31 @@ def parse_result_line(line: str) -> Optional[Tuple[int, float]]:
     return int(m.group(2)), float(m.group(3))
 
 
+def evaluate_accuracy(
+    probs: np.ndarray, labels: Sequence[int], topk: Tuple[int, ...] = (1, 5)
+) -> dict:
+    """Top-k accuracy against ground-truth labels (the eval the reference's
+    setup implies — its fixtures are ImageNet-1k — but never implements)."""
+    probs = np.asarray(probs)
+    labels = np.asarray(list(labels))
+    if len(labels) != probs.shape[0]:
+        raise ValueError(
+            f"{probs.shape[0]} predictions but {len(labels)} labels"
+        )
+    order = np.argsort(-probs, axis=-1)
+    out = {"n": int(probs.shape[0])}
+    for k in topk:
+        hits = (order[:, :k] == labels[:, None]).any(axis=1)
+        out[f"top{k}"] = float(hits.mean())
+    return out
+
+
+def load_label_file(path: str | os.PathLike) -> List[int]:
+    """One integer class id per line (blank lines ignored)."""
+    with open(path) as f:
+        return [int(line) for line in f.read().split()]
+
+
 def compare_result_files(
     result_path: str | os.PathLike,
     answer_path: str | os.PathLike,
