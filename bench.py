@@ -170,4 +170,18 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # pragma: no cover
+        # The tunneled TPU runtime occasionally poisons a process with
+        # transient FailedPrecondition/INTERNAL errors (e.g. after another
+        # process was killed mid-work). Re-exec once in a FRESH process
+        # (a fresh PJRT client) after a drain pause; the driver records
+        # whatever the retry prints.
+        if os.environ.get("BENCH_RETRIED") == "1":
+            raise
+        print(f"bench attempt 1 failed ({type(e).__name__}: {e}); "
+              "re-exec retry in 30s", file=sys.stderr)
+        time.sleep(30)
+        os.environ["BENCH_RETRIED"] = "1"
+        os.execv(sys.executable, [sys.executable] + sys.argv)

@@ -32,3 +32,49 @@ def test_throughput_report_math():
         r["achieved_tflops"],
         r["images_per_sec"] * r["gflop_per_image"] / 1e3,
     )
+
+
+def test_autotune_sweep_mechanics():
+    from vit_with_opencl_tpu.perf import autotune
+
+    # fake timer: candidate 4 is "fastest"; candidate 8 "OOMs" at build time
+    def build(c):
+        if c == 8:
+            raise RuntimeError("RESOURCE_EXHAUSTED: vmem")
+        return lambda x: x * c
+
+    def timer(fn, args, iters):
+        return abs(fn(1.0) - 4.0) + 0.1
+
+    best, table = autotune.sweep((1, 2, 4, 8), build, (), timer=timer)
+    assert best == 4
+    assert table[8] == float("inf")
+
+
+def test_autotune_attention_ipc_interpret(monkeypatch):
+    """End-to-end sweep mechanics with a stub timer (compiled kernels need
+    TPU; the selection path is what's under test here)."""
+    from vit_with_opencl_tpu.perf import autotune
+    from vit_with_opencl_tpu import ViTConfig
+
+    cfg = ViTConfig(name="a", img_size=32, patch_size=8, embed_dim=64,
+                    depth=1, num_heads=4)
+
+    def timer(fn, args, iters):
+        return 1.0
+
+    best, table = autotune.tune_attention_ipc(
+        cfg, batch=4, candidates=(1, 2, 3, 4), timer=timer
+    )
+    assert set(table) == {1, 2, 4}  # 3 doesn't divide the batch
+    assert best in table
+
+
+def test_autotune_cache_roundtrip(tmp_path):
+    from vit_with_opencl_tpu.perf import autotune
+
+    p = tmp_path / "tune.json"
+    autotune.save_tuning(p, "vit_b/256/bf16", {"ipc": 4, "ms": 1.9})
+    autotune.save_tuning(p, "vit_l/64/bf16", {"ipc": 1, "ms": 4.4})
+    assert autotune.load_tuning(p, "vit_b/256/bf16") == {"ipc": 4, "ms": 1.9}
+    assert autotune.load_tuning(p, "missing") is None

@@ -417,13 +417,13 @@ def packed_fused_attention(
             qkv = jnp.pad(qkv, ((0, 0), (0, t_kernel - t), (0, 0)))
         t_in = t_kernel
 
-    t_tile = _cdiv(t_in, 128) * 128  # tile footprint for VMEM budgeting
     if images_per_cell is None:
-        # Fit the block set in a conservative VMEM budget (scoped limit 16 MB,
-        # Mosaic double-buffers blocks and keeps softmax temporaries).
-        per_image = 4 * t_tile * d * qkv.dtype.itemsize  # qkv(3D) + ctx(D)
-        fixed = 3 * t_tile * t_tile * 4  # scores + exp + normalized (fp32)
-        images_per_cell = int(max(1, min(4, b, ((6 << 20) - fixed) // per_image)))
+        # v5e sweeps (perf/autotune.py): one image per grid cell is fastest
+        # when a cell already holds enough per-head matmuls (ViT-B, 12 heads:
+        # 72.2 vs 74.3 ms/batch in-model), but few-head models want several
+        # images to amortize cell overhead (ViT-Tiny, 3 heads: ipc=4 is ~10%
+        # faster). Target ~a dozen head-matmul pairs per cell.
+        images_per_cell = int(max(1, min(4, b, 12 // nh)))
     while b % images_per_cell:
         images_per_cell -= 1
 

@@ -1,0 +1,117 @@
+"""Kernel autotuning: measure candidate launch configs on the real device.
+
+The reference hard-codes its tile sizes and pipeline depth as literals
+(ViT_opencl.c:510,591,648,916 — tuned by hand for one GPU). Here tunable
+knobs (attention images-per-cell, GEMM block shapes) get swept on the actual
+chip with fetch-fenced timing, and the winner can be cached per
+(config, batch, dtype) key.
+
+Defaults shipped in ops/ were chosen with this harness on v5e; rerun on new
+hardware generations.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import time
+from typing import Callable, Dict, Iterable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ViTConfig
+
+
+def _fence(x) -> None:
+    np.asarray(jax.device_get(jax.tree.leaves(x)[0].ravel()[:1]))
+
+
+def time_fn(fn: Callable, args: tuple, iters: int = 20) -> float:
+    """Best-of-3 mean ms per call, fetch-fenced (see perf.profiler)."""
+    out = fn(*args)
+    _fence(out)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        _fence(out)
+        best = min(best, (time.perf_counter() - t0) / iters * 1e3)
+    return best
+
+
+def sweep(
+    candidates: Iterable,
+    build: Callable[[object], Callable],
+    args: tuple,
+    *,
+    iters: int = 20,
+    timer: Optional[Callable] = None,
+) -> Tuple[object, Dict]:
+    """Time ``build(candidate)`` for each candidate; return (best, table).
+
+    Candidates whose build/compile/run fails (e.g. VMEM OOM) are recorded as
+    inf and skipped — an OOM config is a data point, not an error.
+    """
+    timer = timer or time_fn
+    table: Dict = {}
+    for cand in candidates:
+        try:
+            fn = build(cand)
+            table[cand] = timer(fn, args, iters)
+        except Exception:  # noqa: BLE001 — OOM/compile failures expected
+            table[cand] = float("inf")
+    best = min(table, key=table.get)
+    if table[best] == float("inf"):
+        raise RuntimeError(f"every candidate failed: {table}")
+    return best, table
+
+
+def tune_attention_ipc(
+    config: ViTConfig,
+    batch: int,
+    *,
+    dtype=jnp.bfloat16,
+    candidates: Sequence[int] = (1, 2, 4, 8),
+    iters: int = 20,
+    timer: Optional[Callable] = None,
+    qkv: Optional[jax.Array] = None,
+) -> Tuple[int, Dict[int, float]]:
+    """Sweep images-per-cell for the packed attention kernel on this device."""
+    from ..ops.attention import packed_fused_attention
+
+    if qkv is None:
+        d = config.embed_dim
+        i = jax.lax.broadcasted_iota(
+            jnp.int32, (batch * config.num_tokens * 3 * d, 1), 0
+        )[:, 0]
+        v = (((i * 16807) % 1021).astype(jnp.float32) / 1021.0 - 0.5)
+        qkv = v.reshape(batch, config.num_tokens, 3 * d).astype(dtype)
+
+    def build(ipc):
+        return jax.jit(functools.partial(
+            packed_fused_attention, config=config, images_per_cell=ipc,
+        ))
+
+    valid = [c for c in candidates if batch % c == 0]
+    return sweep(valid, build, (qkv,), iters=iters, timer=timer)
+
+
+def save_tuning(path: str | os.PathLike, key: str, result: Dict) -> None:
+    data = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            data = json.load(f)
+    data[key] = result
+    with open(path, "w") as f:
+        json.dump(data, f, indent=2, sort_keys=True)
+
+
+def load_tuning(path: str | os.PathLike, key: str) -> Optional[Dict]:
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f).get(key)
