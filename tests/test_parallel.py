@@ -159,3 +159,20 @@ def test_multihost_mesh_single_process(setup):
     probs = spmd.tp_forward(jnp.asarray(images), params, CFG, mesh,
                             compute_dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(probs), ref, atol=1e-5)
+
+
+def test_pipeline_with_quantized_params(setup):
+    """PP + int8 weight-only quantization (review finding: the replicated
+    head crashed on quantized head_w)."""
+    from vit_with_opencl_tpu.models import quant
+    from vit_with_opencl_tpu.parallel import pipeline
+
+    stacked, images, ref = setup
+    qp = quant.quantize_stacked_params(stacked, CFG)
+    mesh = pipeline.make_pipe_mesh(2)
+    params = pipeline.shard_params_pp(qp, mesh, CFG)
+    probs = pipeline.pp_forward(
+        jnp.asarray(images), params, CFG, mesh, n_microbatches=2,
+        compute_dtype=jnp.float32,
+    )
+    assert np.abs(np.asarray(probs) - ref).max() < 5e-3

@@ -42,7 +42,9 @@ def load_checkpoint(
     ckptr = ocp.StandardCheckpointer()
     if like is not None:
         abstract = jax.tree.map(
-            lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype)
+            lambda x: jax.ShapeDtypeStruct(
+                np.shape(x), x.dtype, sharding=getattr(x, "sharding", None)
+            )
             if hasattr(x, "dtype") else x,
             like,
         )

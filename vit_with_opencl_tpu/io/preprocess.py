@@ -72,14 +72,19 @@ def preprocess_array(
         new_h, new_w = resize_size, max(1, round(w * resize_size / h))
     else:
         new_h, new_w = max(1, round(h * resize_size / w)), resize_size
-    try:
-        from PIL import Image
+    if img.dtype == np.uint8:
+        try:
+            from PIL import Image
 
-        pil = Image.fromarray(img.astype(np.uint8))
-        pil = pil.resize((new_w, new_h), Image.BILINEAR)
-        resized = np.asarray(pil, np.float32)
-    except ImportError:
-        resized = _resize_bilinear_np(img, new_h, new_w)
+            pil = Image.fromarray(img)
+            pil = pil.resize((new_w, new_h), Image.BILINEAR)
+            resized = np.asarray(pil, np.float32)
+        except ImportError:
+            resized = _resize_bilinear_np(img, new_h, new_w)
+    else:
+        # Float input: resize at full precision (PIL would truncate to uint8
+        # and wrap values > 255, silently changing the tensor).
+        resized = _resize_bilinear_np(np.clip(img, 0.0, 255.0), new_h, new_w)
     top = (new_h - img_size) // 2
     left = (new_w - img_size) // 2
     crop = resized[top : top + img_size, left : left + img_size]

@@ -447,9 +447,24 @@ def forward(
     )
     if config.head_type == "none":
         raise ValueError("head_type='none': use forward_features")
+    logits = classifier_logits(feats, params, config, compute_dtype)
+    if return_logits:
+        return logits
+    return jax.nn.softmax(logits, axis=-1)
+
+
+def classifier_logits(
+    feats: jax.Array,
+    params: Params,
+    config: ViTConfig,
+    compute_dtype: jnp.dtype,
+) -> jax.Array:
+    """CLS-row classifier head (reference: ViT_seq.c:509-513), DeiT dual-head
+    averaging, quantization-aware. Shared by the single-chip forward and the
+    parallel (tp/sp/pp) paths so head semantics can't drift."""
     from . import quant
 
-    def head_logits(feat, w, bias):
+    def head(feat, w, bias):
         x = feat.astype(compute_dtype)
         if quant.is_quantized(w):
             out = jnp.dot(x, w["q"].astype(compute_dtype),
@@ -459,12 +474,10 @@ def forward(
                           preferred_element_type=jnp.float32)
         return out + bias
 
-    logits = head_logits(feats[:, 0], params["head_w"], params["head_b"])
+    logits = head(feats[:, 0], params["head_w"], params["head_b"])
     if config.head_type == "cls+dist":
-        dist_logits = head_logits(
-            feats[:, 1], params["head_dist_w"], params["head_dist_b"]
+        logits = 0.5 * (
+            logits
+            + head(feats[:, 1], params["head_dist_w"], params["head_dist_b"])
         )
-        logits = 0.5 * (logits + dist_logits)
-    if return_logits:
-        return logits
-    return jax.nn.softmax(logits, axis=-1)
+    return logits

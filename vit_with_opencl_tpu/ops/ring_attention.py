@@ -110,6 +110,8 @@ def ring_attention(
     """
     from jax.sharding import PartitionSpec as P
 
+    from ..parallel.spmd import _cached_program
+
     n = mesh.shape[axis_name]
     b, h, t, hd = q.shape
     t_pad = -(-t // n) * n
@@ -125,8 +127,13 @@ def ring_attention(
         )
 
     in_spec = P(None, None, axis_name, None)
-    out = jax.jit(jax.shard_map(
-        fn, mesh=mesh, in_specs=(in_spec, in_spec, in_spec),
-        out_specs=in_spec, check_vma=False,
-    ))(q, k, v)
+
+    def build():
+        return jax.jit(jax.shard_map(
+            fn, mesh=mesh, in_specs=(in_spec, in_spec, in_spec),
+            out_specs=in_spec, check_vma=False,
+        ))
+
+    key = ("ring", mesh, axis_name, q.shape, jnp.dtype(q.dtype), t, scale)
+    out = _cached_program(key, build)(q, k, v)
     return out[:, :, :t] if t_pad != t else out

@@ -41,9 +41,13 @@ def initialize(
     if process_id is None and "JAX_PROCESS_ID" in os.environ:
         process_id = int(os.environ["JAX_PROCESS_ID"])
     if coordinator_address is None and num_processes is None:
-        # Single process or TPU-pod auto-detection territory.
-        if jax.process_count() > 1:
-            return  # already initialized by the runtime
+        # TPU-pod auto-detection: jax.distributed can discover the cluster
+        # itself. Outside a cluster (single process, no detectable env) it
+        # raises — which is the no-op case, not an error.
+        try:
+            jax.distributed.initialize()
+        except (RuntimeError, ValueError):
+            pass
         return
     jax.distributed.initialize(
         coordinator_address=coordinator_address,

@@ -130,19 +130,7 @@ def pp_forward(
         feats = feats.astype(jnp.float32)
         if config.head_type == "none":
             return feats[:, 0]
-        cls = feats[:, 0].astype(compute_dtype)
-        logits = (
-            jnp.dot(cls, p["head_w"].astype(compute_dtype),
-                    preferred_element_type=jnp.float32) + p["head_b"]
-        )
-        if config.head_type == "cls+dist":
-            dist = feats[:, 1].astype(compute_dtype)
-            logits = 0.5 * (
-                logits
-                + jnp.dot(dist, p["head_dist_w"].astype(compute_dtype),
-                          preferred_element_type=jnp.float32)
-                + p["head_dist_b"]
-            )
+        logits = vit.classifier_logits(feats, p, config, compute_dtype)
         if return_logits:
             return logits
         return jax.nn.softmax(logits, axis=-1)

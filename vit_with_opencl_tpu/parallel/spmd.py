@@ -195,18 +195,8 @@ def tp_forward(
         )
         x, _ = jax.lax.scan(lambda h, lp: block(h, lp), x, p["layers"])
         x = vit.layer_norm(x, p["final_ln_w"], p["final_ln_b"], config.eps)
-        cls = x[:, 0].astype(p["head_w"].dtype)
-        logits = (
-            jnp.dot(cls, p["head_w"], preferred_element_type=jnp.float32)
-            + p["head_b"]
-        )
-        if config.head_type == "cls+dist":
-            dist = x[:, 1].astype(p["head_dist_w"].dtype)
-            logits = 0.5 * (
-                logits
-                + jnp.dot(dist, p["head_dist_w"], preferred_element_type=jnp.float32)
-                + p["head_dist_b"]
-            )
+        logits = vit.classifier_logits(x.astype(jnp.float32), p, config,
+                                       compute_dtype)
         if return_logits:
             return logits
         return jax.nn.softmax(logits, axis=-1)
@@ -305,19 +295,7 @@ def sp_forward(
         # Gather token shards; slice off padding.
         full = jax.lax.all_gather(x, "model", axis=1, tiled=True)[:, :t]
         feats = full.astype(jnp.float32)
-        cls = feats[:, 0].astype(compute_dtype)
-        logits = (
-            jnp.dot(cls, p["head_w"].astype(compute_dtype),
-                    preferred_element_type=jnp.float32) + p["head_b"]
-        )
-        if config.head_type == "cls+dist":
-            dist = feats[:, 1].astype(compute_dtype)
-            logits = 0.5 * (
-                logits
-                + jnp.dot(dist, p["head_dist_w"].astype(compute_dtype),
-                          preferred_element_type=jnp.float32)
-                + p["head_dist_b"]
-            )
+        logits = vit.classifier_logits(feats, p, config, compute_dtype)
         if return_logits:
             return logits
         return jax.nn.softmax(logits, axis=-1)

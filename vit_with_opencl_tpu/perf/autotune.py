@@ -57,6 +57,9 @@ def sweep(
     inf and skipped — an OOM config is a data point, not an error.
     """
     timer = timer or time_fn
+    candidates = list(candidates)
+    if not candidates:
+        raise ValueError("no candidates to sweep (e.g. none divides the batch)")
     table: Dict = {}
     for cand in candidates:
         try:

@@ -41,13 +41,15 @@ MAX_PAYLOAD = 1 << 30
 
 
 def _recv_exact(sock: socket.socket, n: int) -> bytes:
-    buf = b""
-    while len(buf) < n:
-        chunk = sock.recv(n - len(buf))
-        if not chunk:
+    buf = bytearray(n)
+    view = memoryview(buf)
+    got = 0
+    while got < n:
+        r = sock.recv_into(view[got:])
+        if not r:
             raise ConnectionError("peer closed mid-message")
-        buf += chunk
-    return buf
+        got += r
+    return bytes(buf)
 
 
 def _send_msg(sock: socket.socket, payload: bytes) -> None:
@@ -93,6 +95,12 @@ class Batcher:
             raise RuntimeError("batcher is shut down")
         req = _Request(image)
         self.q.put(req)
+        # Shutdown race: if stop() landed between the check and the put, the
+        # drain may have already finished and missed this request — fail it
+        # here so no waiter can hang (double event.set is harmless).
+        if self._stop.is_set() and not req.event.is_set():
+            req.error = RuntimeError("batcher is shut down")
+            req.event.set()
         return req
 
     @staticmethod
