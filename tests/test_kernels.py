@@ -363,3 +363,28 @@ def test_packed_attention_trainable_grads():
     v_r, g_r = jax.value_and_grad(loss_ref)(qkv)
     np.testing.assert_allclose(float(v_p), float(v_r), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_r), atol=1e-4)
+
+
+def test_fused_block_matches_golden_forward():
+    """Whole-layer fused kernel end-to-end (fused_block path) vs golden."""
+    from vit_with_opencl_tpu.harness import fixtures
+    from vit_with_opencl_tpu.models import vit as vitmod
+
+    cfg = ViTConfig(name="fb", img_size=32, patch_size=8, embed_dim=64,
+                    depth=2, num_heads=4, num_classes=9)
+    params = fixtures.random_params(cfg, seed=6, scale=0.05)
+    images = fixtures.random_images(cfg, n=2, seed=6)
+    ref = golden.golden_forward(images, params, cfg)
+    stacked = vitmod.stack_params(params, cfg, param_dtype=jnp.float32)
+    kern = vitmod.resolve_kernels("fused_block")
+    probs = vitmod.forward(jnp.asarray(images), stacked, cfg,
+                           compute_dtype=jnp.float32, kernels=kern)
+    np.testing.assert_allclose(np.asarray(probs), ref, atol=1e-5)
+
+
+def test_fused_block_supports_gate():
+    from vit_with_opencl_tpu.ops import fused_block
+    from vit_with_opencl_tpu import get_config
+
+    assert fused_block.supports(get_config("vit_tiny_16_224"))
+    assert not fused_block.supports(get_config("vit_b_16_224"))

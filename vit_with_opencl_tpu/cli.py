@@ -61,7 +61,7 @@ def main(argv=None) -> int:
     parser.add_argument("--config", default="vit_b_16_224",
                         choices=sorted(config_lib.PRESETS))
     parser.add_argument("--batch-size", type=int, default=32)
-    parser.add_argument("--attention", choices=["xla", "flash"], default="xla",
+    parser.add_argument("--attention", choices=["xla", "flash", "fused_block"], default="xla",
                         help="attention core: XLA einsum chain or the fused "
                         "Pallas flash kernel")
     parser.add_argument("--quantize", choices=["int8"], default=None,

@@ -351,6 +351,15 @@ def resolve_kernels(attention_impl: str = "xla") -> Dict[str, Any]:
 
         kernels["attention"] = flash_attention
         kernels["attention_packed"] = packed_fused_attention
+    elif attention_impl == "fused_block":
+        # Flash kernels plus the whole-layer fused block for small models
+        # (falls back to the flash per-op path when the layer doesn't fit).
+        from ..ops import fused_block
+        from ..ops.attention import flash_attention, packed_fused_attention
+
+        kernels["attention"] = flash_attention
+        kernels["attention_packed"] = packed_fused_attention
+        kernels["_fused_block_if_supported"] = True
     elif attention_impl != "xla":
         raise ValueError(f"unknown attention_impl {attention_impl!r}")
     return kernels
@@ -401,10 +410,24 @@ def encoder(x: jax.Array, params: Params, config: ViTConfig,
     """``lax.scan`` over the stacked per-layer weights (replaces the
     reference's 12 unrolled calls, ViT_seq.c:446-504)."""
 
-    def block(h, lp):
-        h = h + _attention_block(h, lp, config, kernels)
-        h = h + _mlp_block(h, lp, config, kernels)
-        return h, None
+    use_block = "encoder_block" in kernels
+    if kernels.get("_fused_block_if_supported") and not use_block:
+        from ..ops import fused_block
+
+        if fused_block.supports(config):
+            kernels = dict(kernels)
+            kernels["encoder_block"] = fused_block.fused_encoder_layer
+            use_block = True
+    if use_block:
+        # Whole-layer fused kernel (small models): one launch per layer,
+        # activations never leave VMEM between ops.
+        def block(h, lp):
+            return kernels["encoder_block"](h, lp, config), None
+    else:
+        def block(h, lp):
+            h = h + _attention_block(h, lp, config, kernels)
+            h = h + _mlp_block(h, lp, config, kernels)
+            return h, None
 
     x, _ = jax.lax.scan(block, x, params["layers"])
     return x

@@ -1,0 +1,163 @@
+"""Whole-encoder-layer fused kernel for small models.
+
+For small embedding dims (ViT-Tiny: D=192) the per-op pipeline is dominated
+by HBM round trips between tiny GEMMs — LN, residuals and activations each
+cost a full pass over the activations while the matmuls barely load the MXU.
+This kernel runs one COMPLETE pre-LN encoder layer per grid cell with every
+weight VMEM-resident (constant index maps keep them loaded across the batch
+grid): LN1 → QKV → per-head attention → out-proj → residual → LN2 → fc1 →
+erf-GELU → fc2 → residual, with activations never leaving VMEM.
+
+Only worthwhile when the whole weight set + activations of a layer fit VMEM
+(D ≲ 384 at 197 tokens); larger models use the per-op path where XLA's GEMMs
+are already compute-bound. The layer loop stays an XLA ``lax.scan`` — each
+step is one fused kernel launch.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import ViTConfig
+
+
+def _erf_approx(x):
+    """Abramowitz & Stegun 7.1.26 rational erf approximation (|err| <= 1.5e-7
+    absolute — far below bf16 noise). Mosaic has no erf primitive; this uses
+    only mul/add/exp, all supported in Pallas TPU kernels."""
+    a1, a2, a3 = 0.254829592, -0.284496736, 1.421413741
+    a4, a5, p = -1.453152027, 1.061405429, 0.3275911
+    sign = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    return sign * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _block_kernel(
+    x_ref, ln1w_ref, ln1b_ref, qkvw_ref, qkvb_ref, outw_ref, outb_ref,
+    ln2w_ref, ln2b_ref, fc1w_ref, fc1b_ref, fc2w_ref, fc2b_ref, o_ref,
+    *, num_heads: int, head_dim: int, eps: float, images_per_cell: int,
+):
+    d = num_heads * head_dim
+    scale = jnp.asarray(1.0 / np.sqrt(head_dim), jnp.float32)
+
+    def ln(xf, w_ref, b_ref):
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean
+        inv = jax.lax.rsqrt(var + eps)
+        return (xf - mean) * inv * w_ref[0].astype(jnp.float32) + b_ref[
+            0
+        ].astype(jnp.float32)
+
+    for img in range(images_per_cell):
+        x = x_ref[img].astype(jnp.float32)  # [T, D]
+        h = ln(x, ln1w_ref, ln1b_ref).astype(x_ref.dtype)
+        qkv = jnp.dot(h, qkvw_ref[...], preferred_element_type=jnp.float32)
+        qkv = (qkv + qkvb_ref[0].astype(jnp.float32)).astype(x_ref.dtype)
+        ctx_parts = []
+        for hh in range(num_heads):
+            q = qkv[:, hh * head_dim:(hh + 1) * head_dim]
+            k = qkv[:, d + hh * head_dim: d + (hh + 1) * head_dim]
+            v = qkv[:, 2 * d + hh * head_dim: 2 * d + (hh + 1) * head_dim]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            m = jnp.max(s, axis=1, keepdims=True)
+            p = jnp.exp(s - m)
+            inv = 1.0 / jnp.sum(p, axis=1, keepdims=True)
+            o = jax.lax.dot(p.astype(v.dtype), v,
+                            preferred_element_type=jnp.float32)
+            ctx_parts.append((o * inv).astype(x_ref.dtype))
+        ctx = jnp.concatenate(ctx_parts, axis=-1)  # [T, D]
+        attn = jnp.dot(ctx, outw_ref[...], preferred_element_type=jnp.float32)
+        x = x + attn + outb_ref[0].astype(jnp.float32)  # residual 1 (fp32)
+        h = ln(x, ln2w_ref, ln2b_ref).astype(x_ref.dtype)
+        hid = jnp.dot(h, fc1w_ref[...], preferred_element_type=jnp.float32)
+        hid = hid + fc1b_ref[0].astype(jnp.float32)
+        hid = 0.5 * hid * (1.0 + _erf_approx(hid * np.float32(1 / np.sqrt(2.0))))
+        mlp = jnp.dot(hid.astype(x_ref.dtype), fc2w_ref[...],
+                      preferred_element_type=jnp.float32)
+        x = x + mlp + fc2b_ref[0].astype(jnp.float32)  # residual 2
+        o_ref[img] = x.astype(o_ref.dtype)
+
+
+# Above this per-layer weight footprint (bytes, bf16), fall back to the
+# per-op path — the fused block must keep weights + activations in VMEM.
+FUSED_BLOCK_MAX_WEIGHT_BYTES = 4 << 20
+
+
+def fused_encoder_layer(
+    x: jax.Array,
+    lp,
+    config: ViTConfig,
+    *,
+    images_per_cell: int | None = None,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """One pre-LN encoder layer, fully fused. x: [B, T, D] → [B, T, D].
+
+    ``lp`` is one layer's slice of the stacked params (models/vit layout:
+    qkv_w [D, 3D], out_w [D, D], fc1_w [D, H], fc2_w [H, D], fp32 LN/biases).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, t, d = x.shape
+    nh, hd = config.num_heads, config.head_dim
+    hdim = config.hidden_dim
+    if images_per_cell is None:
+        # v5e sweep (ViT-Tiny bs1024): 2 images/cell is ~8% faster than 1
+        # (weight reuse within a cell); 4/8 are equal to 2.
+        images_per_cell = 2
+    while b % images_per_cell:
+        images_per_cell -= 1
+
+    kernel = functools.partial(
+        _block_kernel, num_heads=nh, head_dim=hd, eps=config.eps,
+        images_per_cell=images_per_cell,
+    )
+    def full2d(shape):
+        return pl.BlockSpec(shape, lambda i: (0, 0))
+
+    return pl.pallas_call(
+        kernel,
+        grid=(b // images_per_cell,),
+        in_specs=[
+            pl.BlockSpec((images_per_cell, t, d), lambda i: (i, 0, 0)),
+            full2d((1, d)), full2d((1, d)),          # ln1 w/b
+            full2d((d, 3 * d)), full2d((1, 3 * d)),  # qkv w/b
+            full2d((d, d)), full2d((1, d)),          # out w/b
+            full2d((1, d)), full2d((1, d)),          # ln2 w/b
+            full2d((d, hdim)), full2d((1, hdim)),    # fc1 w/b
+            full2d((hdim, d)), full2d((1, d)),       # fc2 w/b
+        ],
+        out_specs=pl.BlockSpec((images_per_cell, t, d), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, t, d), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=64 << 20,
+        ),
+        interpret=interpret,
+    )(
+        x,
+        lp["ln1_w"].reshape(1, d), lp["ln1_b"].reshape(1, d),
+        lp["qkv_w"].astype(x.dtype), lp["qkv_b"].reshape(1, 3 * d),
+        lp["out_w"].astype(x.dtype), lp["out_b"].reshape(1, d),
+        lp["ln2_w"].reshape(1, d), lp["ln2_b"].reshape(1, d),
+        lp["fc1_w"].astype(x.dtype), lp["fc1_b"].reshape(1, hdim),
+        lp["fc2_w"].astype(x.dtype), lp["fc2_b"].reshape(1, d),
+    )
+
+
+def supports(config: ViTConfig, dtype_bytes: int = 2) -> bool:
+    """Whether this config's per-layer weights fit the fused-block budget."""
+    d, h = config.embed_dim, config.hidden_dim
+    weight_bytes = (d * 3 * d + d * d + d * h + h * d) * dtype_bytes
+    return weight_bytes <= FUSED_BLOCK_MAX_WEIGHT_BYTES

@@ -251,7 +251,7 @@ def main(argv=None) -> int:
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--port", type=int, default=9876)
     parser.add_argument("--batch-size", type=int, default=32)
-    parser.add_argument("--attention", choices=["xla", "flash"], default="flash")
+    parser.add_argument("--attention", choices=["xla", "flash", "fused_block"], default="flash")
     parser.add_argument("--quantize", choices=["int8"], default=None)
     parser.add_argument("--max-wait-ms", type=float, default=5.0)
     args = parser.parse_args(argv)
