@@ -123,3 +123,34 @@ def test_multi_image_payload_single_batch(server):
     got = serve.classify(images, port=srv.address[1])
     assert [g[0] for g in got] == [w[0] for w in _expected(params, images)]
     assert srv.batcher.batches_run - before == 1
+
+
+def test_uint8_serving_end_to_end():
+    """uint8 wire mode: raw pixels in, device-side normalization — results
+    match host-side preprocessing + float serving."""
+    from vit_with_opencl_tpu.io.preprocess import IMAGENET_MEAN, IMAGENET_STD
+
+    params = fixtures.random_params(CFG, seed=2, scale=0.05)
+    engine_u8 = InferenceEngine(
+        CFG, params, batch_size=2, param_dtype=jnp.float32,
+        compute_dtype=jnp.float32, normalize_uint8=True,
+    )
+    srv = serve.InferenceServer(engine_u8, port=0, max_wait_ms=10.0)
+    srv.start_background()
+    try:
+        raw = np.random.default_rng(0).integers(
+            0, 256, (2, 3, CFG.img_size, CFG.img_size), np.uint8
+        )
+        got = serve.classify(raw, port=srv.address[1])
+        # reference: normalize on host, run golden
+        norm = (raw.astype(np.float32) / 255.0
+                - IMAGENET_MEAN.reshape(1, 3, 1, 1)) / IMAGENET_STD.reshape(1, 3, 1, 1)
+        want = _expected(params, norm.astype(np.float32))
+        assert [g[0] for g in got] == [w[0] for w in want]
+        for g, w in zip(got, want):
+            assert abs(g[1] - w[1]) < 1e-4
+        # float payload to a uint8 server → clean error
+        with pytest.raises(RuntimeError, match="does not match"):
+            serve.classify(norm.astype(np.float32), port=srv.address[1])
+    finally:
+        srv.shutdown()

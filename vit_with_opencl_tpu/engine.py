@@ -58,6 +58,7 @@ class InferenceEngine:
         device: Optional[Any] = None,
         check_numerics: bool = False,
         quantize: Optional[str] = None,
+        normalize_uint8: bool = False,
     ):
         self.config = config
         self.batch_size = int(batch_size)
@@ -76,8 +77,21 @@ class InferenceEngine:
         self.params = jax.device_put(params, self.device)
         kernels = vit.resolve_kernels(attention_impl)
 
+        self.normalize_uint8 = normalize_uint8
+        if normalize_uint8:
+            # Accept raw uint8 images and normalize ON DEVICE (ImageNet
+            # mean/std): 4x less host->device transfer than fp32 inputs —
+            # the production input path (io/preprocess still handles
+            # resize/crop on host).
+            from .io.preprocess import IMAGENET_MEAN, IMAGENET_STD
+
+            mean = jnp.asarray(IMAGENET_MEAN.reshape(1, 3, 1, 1) * 255.0)
+            inv_std = jnp.asarray(1.0 / (IMAGENET_STD.reshape(1, 3, 1, 1) * 255.0))
+
         @functools.partial(jax.jit, static_argnames=())
         def _forward(images, params):
+            if normalize_uint8:
+                images = (images.astype(jnp.float32) - mean) * inv_std
             return vit.forward(
                 images, params, config, compute_dtype=compute_dtype, kernels=kernels
             )
@@ -99,7 +113,7 @@ class InferenceEngine:
         dummy = jnp.zeros(
             (self.batch_size, self.config.in_chans, self.config.img_size,
              self.config.img_size),
-            jnp.float32,
+            jnp.uint8 if self.normalize_uint8 else jnp.float32,
         )
         jax.block_until_ready(self._forward(jax.device_put(dummy, self.device),
                                             self.params))
@@ -113,7 +127,8 @@ class InferenceEngine:
         overlaps device compute (the reference's inter-image pipelining
         effect, ViT_opencl.c:926-965).
         """
-        images = np.asarray(images, np.float32)
+        in_dtype = np.uint8 if self.normalize_uint8 else np.float32
+        images = np.asarray(images, in_dtype)
         if images.ndim == 3:
             images = images[None]
         n = images.shape[0]
@@ -122,7 +137,7 @@ class InferenceEngine:
         for start in range(0, n, bs):
             chunk = images[start : start + bs]
             if chunk.shape[0] < bs:
-                pad = np.zeros((bs - chunk.shape[0],) + chunk.shape[1:], np.float32)
+                pad = np.zeros((bs - chunk.shape[0],) + chunk.shape[1:], in_dtype)
                 chunk = np.concatenate([chunk, pad], axis=0)
             dev_chunk = jax.device_put(jnp.asarray(chunk), self.device)
             outputs.append(self._forward(dev_chunk, self.params))

@@ -351,6 +351,9 @@ def resolve_kernels(attention_impl: str = "xla") -> Dict[str, Any]:
 
         kernels["attention"] = flash_attention
         kernels["attention_packed"] = packed_fused_attention
+        # Small models also get the whole-layer fused kernel (gated by
+        # fused_block.supports; a no-op for ViT-B-sized configs).
+        kernels["_fused_block_if_supported"] = True
     elif attention_impl == "fused_block":
         # Flash kernels plus the whole-layer fused block for small models
         # (falls back to the flash per-op path when the layer doesn't fit).

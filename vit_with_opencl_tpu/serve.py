@@ -168,6 +168,7 @@ class InferenceServer:
         self.batcher = Batcher(engine, max_wait_ms)
         self.engine = engine
         batcher = self.batcher
+        srv_engine = engine
         expected = (engine.config.in_chans, engine.config.img_size,
                     engine.config.img_size)
 
@@ -180,6 +181,14 @@ class InferenceServer:
                         return
                     try:
                         images = binfmt.load_image_data_bytes(payload)
+                        want_u8 = getattr(srv_engine, "normalize_uint8", False)
+                        if want_u8 != (images.dtype == np.uint8):
+                            raise ValueError(
+                                "payload dtype "
+                                f"{'uint8' if images.dtype == np.uint8 else 'float32'}"
+                                " does not match the server's "
+                                f"{'uint8' if want_u8 else 'float32'} mode"
+                            )
                         if images.shape[1:] != expected:
                             raise ValueError(
                                 f"expected images of shape {expected}, "
@@ -225,10 +234,14 @@ class InferenceServer:
 def classify(
     images: np.ndarray, host: str = "127.0.0.1", port: int = 9876
 ) -> List[Tuple[int, float]]:
-    """Client helper: send a [n, c, h, w] batch, return [(label, prob)]."""
+    """Client helper: send a [n, c, h, w] batch, return [(label, prob)].
+
+    uint8 arrays go over the wire as raw pixels (4x smaller; requires a
+    server started with --uint8); anything else is sent as float32."""
+    wire = images if images.dtype == np.uint8 else np.asarray(images, "<f4")
     payload = (
         np.asarray(images.shape, "<i4").tobytes()
-        + np.ascontiguousarray(images, "<f4").tobytes()
+        + np.ascontiguousarray(wire).tobytes()
     )
     with socket.create_connection((host, port)) as sock:
         _send_msg(sock, payload)
@@ -254,6 +267,9 @@ def main(argv=None) -> int:
     parser.add_argument("--attention", choices=["xla", "flash", "fused_block"], default="flash")
     parser.add_argument("--quantize", choices=["int8"], default=None)
     parser.add_argument("--max-wait-ms", type=float, default=5.0)
+    parser.add_argument("--uint8", action="store_true",
+                        help="accept raw uint8 pixels and normalize on device "
+                        "(4x less wire + host->device traffic)")
     args = parser.parse_args(argv)
 
     from .engine import InferenceEngine
@@ -265,6 +281,7 @@ def main(argv=None) -> int:
     engine = InferenceEngine(
         cfg, weights, batch_size=args.batch_size,
         attention_impl=args.attention, quantize=args.quantize,
+        normalize_uint8=args.uint8,
     )
     compile_s = engine.warmup()
     server = InferenceServer(engine, args.host, args.port,
