@@ -176,3 +176,20 @@ def test_pipeline_with_quantized_params(setup):
         compute_dtype=jnp.float32,
     )
     assert np.abs(np.asarray(probs) - ref).max() < 5e-3
+
+
+def test_adamw_train_step_descends(setup):
+    stacked, images, _ = setup
+    mesh = spmd.make_mesh(data=2, model=4)
+    params = spmd.shard_params_gspmd(stacked, mesh, CFG)
+    labels = jnp.arange(8) % CFG.num_classes
+    init_fn, step = spmd.make_train_step(CFG, mesh, lr=1e-3,
+                                         optimizer="adamw")
+    opt_state = init_fn(params)
+    imgs = jnp.asarray(images)
+    params, opt_state, loss0 = step(params, opt_state, imgs, labels)
+    for _ in range(3):
+        params, opt_state, loss = step(params, opt_state, imgs, labels)
+    assert float(loss) < float(loss0)
+    with pytest.raises(ValueError, match="unknown optimizer"):
+        spmd.make_train_step(CFG, mesh, optimizer="lion")

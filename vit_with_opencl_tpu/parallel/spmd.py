@@ -341,9 +341,15 @@ def dp_forward_fn(config: ViTConfig, mesh: Mesh, *, compute_dtype=jnp.bfloat16,
 
 
 def make_train_step(config: ViTConfig, mesh: Mesh, *, lr: float = 1e-3,
-                    compute_dtype=jnp.float32):
-    """Cross-entropy SGD step, jit over the mesh: batch sharded over "data",
-    weights sharded over "model" (GSPMD inserts the collectives)."""
+                    compute_dtype=jnp.float32, optimizer: str = "sgd",
+                    weight_decay: float = 0.05):
+    """Cross-entropy training step, jit over the mesh: batch sharded over
+    "data", weights sharded over "model" (GSPMD inserts the collectives).
+
+    ``optimizer``: "sgd" (stateless; step(params, images, labels)) or
+    "adamw" (optax; returns (init_fn, step_fn) where step takes and returns
+    (params, opt_state)).
+    """
 
     def loss_fn(params, images, labels):
         logits = vit.forward(
@@ -353,19 +359,40 @@ def make_train_step(config: ViTConfig, mesh: Mesh, *, lr: float = 1e-3,
         logp = jax.nn.log_softmax(logits, axis=-1)
         return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=-1))
 
-    @jax.jit
-    def step(params, images, labels):
-        loss, grads = jax.value_and_grad(loss_fn)(params, images, labels)
-        new_params = jax.tree.map(
-            lambda p, g: (p - lr * g.astype(jnp.float32)).astype(p.dtype)
-            if jnp.issubdtype(p.dtype, jnp.floating)
-            else p,
-            params,
-            grads,
-        )
-        return new_params, loss
+    if optimizer == "sgd":
 
-    return step
+        @jax.jit
+        def step(params, images, labels):
+            loss, grads = jax.value_and_grad(loss_fn)(params, images, labels)
+            new_params = jax.tree.map(
+                lambda p, g: (p - lr * g.astype(jnp.float32)).astype(p.dtype)
+                if jnp.issubdtype(p.dtype, jnp.floating)
+                else p,
+                params,
+                grads,
+            )
+            return new_params, loss
+
+        return step
+
+    if optimizer != "adamw":
+        raise ValueError(f"unknown optimizer {optimizer!r}")
+
+    import optax
+
+    tx = optax.adamw(lr, weight_decay=weight_decay)
+
+    def init_fn(params):
+        return tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, images, labels):
+        loss, grads = jax.value_and_grad(loss_fn)(params, images, labels)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return init_fn, step
 
 
 def gspmd_param_specs(params: Params, config: ViTConfig) -> Params:
