@@ -15,7 +15,7 @@ encoder (:720,726,734,961). These are the working equivalents:
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, List, Tuple
+from typing import Any, Callable, List, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,7 @@ a pure-NumPy fallback covers environments without it.
 from __future__ import annotations
 
 import os
-from typing import Iterable, List, Optional, Sequence
+from typing import List, Optional, Sequence
 
 import numpy as np
 

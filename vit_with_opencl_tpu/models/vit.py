@@ -25,7 +25,6 @@ exists for tight parity testing.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, Optional
 
 import jax

@@ -16,8 +16,8 @@ against the golden model on the virtual mesh.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, Optional
+
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
