@@ -55,3 +55,29 @@ def test_engine_check_numerics_catches_bad_weights():
     )
     with pytest.raises(FloatingPointError):
         engine.run(images)
+
+
+@pytest.mark.parametrize("attention", ["xla", "flash"])
+@pytest.mark.parametrize("quantize", [None, "int8"])
+@pytest.mark.parametrize("normalize_uint8", [False, True])
+def test_engine_feature_matrix(attention, quantize, normalize_uint8):
+    """Engine options compose: every combination must run and stay sane."""
+    from vit_with_opencl_tpu.io.preprocess import IMAGENET_MEAN, IMAGENET_STD
+
+    params = fixtures.random_params(CFG, seed=1, scale=0.05)
+    engine = InferenceEngine(
+        CFG, params, batch_size=2, param_dtype=jnp.float32,
+        compute_dtype=jnp.float32, attention_impl=attention,
+        quantize=quantize, normalize_uint8=normalize_uint8,
+        check_numerics=True,
+    )
+    if normalize_uint8:
+        inputs = np.random.default_rng(0).integers(
+            0, 256, (3, 3, CFG.img_size, CFG.img_size), np.uint8
+        )
+    else:
+        inputs = fixtures.random_images(CFG, n=3, seed=0)
+    probs = engine.run(inputs)
+    assert probs.shape == (3, CFG.num_classes)
+    assert np.isfinite(probs).all()
+    np.testing.assert_allclose(probs.sum(axis=-1), 1.0, atol=1e-4)

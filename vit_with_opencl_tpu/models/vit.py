@@ -412,8 +412,11 @@ def encoder(x: jax.Array, params: Params, config: ViTConfig,
     """``lax.scan`` over the stacked per-layer weights (replaces the
     reference's 12 unrolled calls, ViT_seq.c:446-504)."""
 
-    use_block = "encoder_block" in kernels
-    if kernels.get("_fused_block_if_supported") and not use_block:
+    from . import quant
+
+    quantized = quant.is_quantized(params["layers"]["qkv_w"])
+    use_block = "encoder_block" in kernels and not quantized
+    if kernels.get("_fused_block_if_supported") and not use_block and not quantized:
         from ..ops import fused_block
 
         if fused_block.supports(config):
