@@ -101,3 +101,27 @@ def test_compare_reference_golden_files_native(nio, reference_root):
     res = os.path.join(reference_root, "Data", "opencl_result.txt")
     ans = os.path.join(reference_root, "Data", "answer_result.txt")
     assert nio.compare_results(res, ans) == 0
+
+
+def test_malformed_inputs_rejected(nio, tmp_path):
+    """Fuzz-derived cases: every malformed file errors cleanly (no crash,
+    no silent wrap — incl. header dimensions that overflow size_t)."""
+    cases = {
+        "empty.bin": b"",
+        "short.bin": b"\x01\x00",
+        "zero.bin": np.asarray([0, 3, 8, 8], "<i4").tobytes(),
+        "neg.bin": np.asarray([-1, 3, 8, 8], "<i4").tobytes(),
+        "huge.bin": np.asarray([2**30] * 4, "<i4").tobytes(),
+        "trunc.bin": np.asarray([2, 3, 8, 8], "<i4").tobytes() + b"\x00" * 10,
+    }
+    for name, payload in cases.items():
+        p = tmp_path / name
+        p.write_bytes(payload)
+        with pytest.raises(IOError):
+            nio.load_images(p)
+    # odd-size weight file (not a multiple of 4 bytes)
+    wdir = tmp_path / "W"
+    wdir.mkdir()
+    (wdir / "Weight_0_class_token.bin").write_bytes(b"\x00" * 7)
+    with pytest.raises(IOError, match="bad size"):
+        nio.load_weights(wdir, 4)

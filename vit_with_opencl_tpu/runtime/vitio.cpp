@@ -59,7 +59,18 @@ float* vitio_load_images(const char* path, int32_t header_out[4]) {
     }
     header_out[i] = hdr[i];
   }
-  const size_t total = (size_t)hdr[0] * hdr[1] * hdr[2] * hdr[3];
+  // Overflow-checked element count (four int32 can overflow size_t); also
+  // reject anything past 1T elements — no real input is that large.
+  const size_t kMaxElements = (size_t)1 << 40;
+  size_t total = 1;
+  for (int i = 0; i < 4; ++i) {
+    if (total > kMaxElements / (size_t)hdr[i]) {
+      set_error("header dimensions overflow");
+      std::fclose(f);
+      return nullptr;
+    }
+    total *= (size_t)hdr[i];
+  }
   float* data = (float*)std::malloc(total * sizeof(float));
   if (!data) {
     set_error("allocation failed");
