@@ -265,13 +265,94 @@ def flash_attention_interpret(q, k, v, config):
 
 
 # ---------------------------------------------------------------------------
-# Differentiable packed attention (custom VJP)
+# Differentiable packed attention (custom VJP, Pallas forward AND backward)
 # ---------------------------------------------------------------------------
 #
-# Pallas kernels have no automatic gradient. For training with the fused
-# forward, the backward pass recomputes attention with plain XLA einsum math
-# and differentiates that — flash-attention-style rematerialization: nothing
-# [T, T]-shaped is saved as a residual, only the (tiny) qkv input is.
+# Pallas kernels have no automatic gradient. The backward is its own fused
+# kernel using flash-attention-style rematerialization: only the qkv input is
+# saved as a residual; the kernel recomputes the softmax per head and applies
+#   dP = dO Vᵀ;  dV = Pᵀ dO;  dS = P ⊙ (dP − rowsum(dP ⊙ P))
+#   dQ = scale · dS K;  dK = scale · dSᵀ Q
+# so nothing [T, T]-shaped ever reaches HBM in either direction.
+
+
+def _packed_bwd_kernel(qkv_ref, do_ref, dqkv_ref, *, scale: float,
+                       num_heads: int, head_dim: int, images_per_cell: int):
+    d = num_heads * head_dim
+    for img in range(images_per_cell):
+        qkv = qkv_ref[img]  # [T, 3D]
+        do = do_ref[img]  # [T, D]
+        for h in range(num_heads):
+            qo, ko, vo = (h * head_dim, d + h * head_dim, 2 * d + h * head_dim)
+            q = qkv[:, qo:qo + head_dim]
+            k = qkv[:, ko:ko + head_dim]
+            v = qkv[:, vo:vo + head_dim]
+            doh = do[:, h * head_dim:(h + 1) * head_dim]
+            # Recompute the softmax (cheaper than storing [T, T] residuals).
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            m = jnp.max(s, axis=1, keepdims=True)
+            e = jnp.exp(s - m)
+            p = e / jnp.sum(e, axis=1, keepdims=True)  # [T, T] fp32
+            # dP = dO @ V^T
+            dp = jax.lax.dot_general(
+                doh, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            # dS = P * (dP - rowsum(dP * P))
+            ds = p * (dp - jnp.sum(dp * p, axis=1, keepdims=True))
+            ds = (ds * scale).astype(qkv.dtype)
+            # dV = P^T @ dO
+            dv = jax.lax.dot_general(
+                p.astype(doh.dtype), doh, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dq = jax.lax.dot(ds, k, preferred_element_type=jnp.float32)
+            dk = jax.lax.dot_general(
+                ds, q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dqkv_ref[img, :, qo:qo + head_dim] = dq.astype(dqkv_ref.dtype)
+            dqkv_ref[img, :, ko:ko + head_dim] = dk.astype(dqkv_ref.dtype)
+            dqkv_ref[img, :, vo:vo + head_dim] = dv.astype(dqkv_ref.dtype)
+
+
+def packed_attention_bwd(
+    qkv: jax.Array,
+    do: jax.Array,
+    num_heads: int,
+    head_dim: int,
+    *,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Fused backward: (qkv [B,T,3D], dO [B,T,D]) → dqkv [B,T,3D]."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, t, three_d = qkv.shape
+    d = num_heads * head_dim
+    assert three_d == 3 * d
+    scale = float(1.0 / np.sqrt(head_dim))
+    kernel = functools.partial(
+        _packed_bwd_kernel, scale=scale, num_heads=num_heads,
+        head_dim=head_dim, images_per_cell=1,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, t, 3 * d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, t, d), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, t, 3 * d), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, t, 3 * d), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=32 << 20,
+        ),
+        interpret=interpret,
+    )(qkv, do)
 
 
 def _packed_reference_math(qkv: jax.Array, num_heads: int, head_dim: int):
@@ -308,11 +389,7 @@ def _trainable_fwd(qkv, num_heads, head_dim):
 
 
 def _trainable_bwd(num_heads, head_dim, qkv, g):
-    _, vjp = jax.vjp(
-        lambda x: _packed_reference_math(x, num_heads, head_dim), qkv
-    )
-    (dqkv,) = vjp(g)
-    return (dqkv,)
+    return (packed_attention_bwd(qkv, g, num_heads, head_dim),)
 
 
 packed_fused_attention_trainable.defvjp(_trainable_fwd, _trainable_bwd)
