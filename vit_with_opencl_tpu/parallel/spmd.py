@@ -342,19 +342,31 @@ def dp_forward_fn(config: ViTConfig, mesh: Mesh, *, compute_dtype=jnp.bfloat16,
 
 def make_train_step(config: ViTConfig, mesh: Mesh, *, lr: float = 1e-3,
                     compute_dtype=jnp.float32, optimizer: str = "sgd",
-                    weight_decay: float = 0.05):
+                    weight_decay: float = 0.05, attention_impl: str = "xla"):
     """Cross-entropy training step, jit over the mesh: batch sharded over
     "data", weights sharded over "model" (GSPMD inserts the collectives).
 
     ``optimizer``: "sgd" (stateless; step(params, images, labels)) or
     "adamw" (optax; returns (init_fn, step_fn) where step takes and returns
-    (params, opt_state)).
+    (params, opt_state)). ``attention_impl="flash"`` uses the fused Pallas
+    attention in BOTH directions (custom-VJP forward + fused backward kernel).
     """
+    if attention_impl == "flash":
+        from ..ops.attention import packed_fused_attention_trainable
+
+        kernels = vit.resolve_kernels("xla")
+        kernels["attention_packed"] = (
+            lambda qkv, cfg: packed_fused_attention_trainable(
+                qkv, cfg.num_heads, cfg.head_dim
+            )
+        )
+    else:
+        kernels = vit.resolve_kernels(attention_impl)
 
     def loss_fn(params, images, labels):
         logits = vit.forward(
             images, params, config, compute_dtype=compute_dtype,
-            return_logits=True,
+            return_logits=True, kernels=kernels,
         )
         logp = jax.nn.log_softmax(logits, axis=-1)
         return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=-1))
