@@ -81,3 +81,23 @@ def test_engine_feature_matrix(attention, quantize, normalize_uint8):
     assert probs.shape == (3, CFG.num_classes)
     assert np.isfinite(probs).all()
     np.testing.assert_allclose(probs.sum(axis=-1), 1.0, atol=1e-4)
+
+
+def test_engine_rejects_wrong_input_dtype():
+    params = fixtures.random_params(CFG, seed=0, scale=0.05)
+    e_f32 = InferenceEngine(CFG, params, batch_size=2,
+                            param_dtype=jnp.float32, compute_dtype=jnp.float32)
+    with pytest.raises(ValueError, match="raw uint8"):
+        e_f32.run(np.zeros((1, 3, CFG.img_size, CFG.img_size), np.uint8))
+    e_u8 = InferenceEngine(CFG, params, batch_size=2, normalize_uint8=True,
+                           param_dtype=jnp.float32, compute_dtype=jnp.float32)
+    with pytest.raises(ValueError, match="expects raw"):
+        e_u8.run(np.zeros((1, 3, CFG.img_size, CFG.img_size), np.float32))
+
+
+def test_engine_empty_batch():
+    params = fixtures.random_params(CFG, seed=0, scale=0.05)
+    e = InferenceEngine(CFG, params, batch_size=2,
+                        param_dtype=jnp.float32, compute_dtype=jnp.float32)
+    out = e.run(np.zeros((0, 3, CFG.img_size, CFG.img_size), np.float32))
+    assert out.shape == (0, CFG.num_classes)

@@ -388,3 +388,23 @@ def test_fused_block_supports_gate():
 
     assert fused_block.supports(get_config("vit_tiny_16_224"))
     assert not fused_block.supports(get_config("vit_b_16_224"))
+
+
+def test_packed_bwd_padded_route_grads():
+    """Backward through the padded (big-block) route: ViT-L-shaped heads at
+    577 tokens must match the reference-math gradients (fp32 interpret)."""
+    from vit_with_opencl_tpu.ops.attention import (
+        _packed_reference_math,
+        packed_fused_attention_trainable,
+    )
+
+    r = rng()
+    nh, hd, t = 16, 64, 577  # qkv block > 2MB → padded route both directions
+    qkv = jnp.asarray((r.standard_normal((1, t, 3 * nh * hd)) * 0.3)
+                      .astype(np.float32))
+
+    g_p = jax.grad(lambda x: jnp.sum(
+        packed_fused_attention_trainable(x, nh, hd) ** 2))(qkv)
+    g_r = jax.grad(lambda x: jnp.sum(
+        _packed_reference_math(x, nh, hd) ** 2))(qkv)
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_r), atol=2e-4)

@@ -115,8 +115,10 @@ class InferenceEngine:
              self.config.img_size),
             jnp.uint8 if self.normalize_uint8 else jnp.float32,
         )
-        jax.block_until_ready(self._forward(jax.device_put(dummy, self.device),
-                                            self.params))
+        out = self._forward(jax.device_put(dummy, self.device), self.params)
+        # Fence with a real host fetch: on some runtimes (the tunneled axon
+        # platform) block_until_ready returns before execution completes.
+        np.asarray(out.ravel()[:1])
         self._compiled = True
         return time.perf_counter() - t0
 
@@ -127,11 +129,26 @@ class InferenceEngine:
         overlaps device compute (the reference's inter-image pipelining
         effect, ViT_opencl.c:926-965).
         """
+        images = np.asarray(images)
         in_dtype = np.uint8 if self.normalize_uint8 else np.float32
+        if self.normalize_uint8 and images.dtype != np.uint8:
+            raise ValueError(
+                f"engine was built with normalize_uint8=True and expects raw "
+                f"uint8 pixels, got {images.dtype} (silently truncating "
+                f"normalized floats would corrupt the input)"
+            )
+        if not self.normalize_uint8 and images.dtype == np.uint8:
+            raise ValueError(
+                "got raw uint8 pixels but the engine expects normalized "
+                "float32 inputs; preprocess first or build the engine with "
+                "normalize_uint8=True"
+            )
         images = np.asarray(images, in_dtype)
         if images.ndim == 3:
             images = images[None]
         n = images.shape[0]
+        if n == 0:
+            return np.zeros((0, self.config.num_classes), np.float32)
         bs = self.batch_size
         outputs = []
         for start in range(0, n, bs):

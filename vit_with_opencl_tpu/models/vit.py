@@ -419,7 +419,8 @@ def encoder(x: jax.Array, params: Params, config: ViTConfig,
     if kernels.get("_fused_block_if_supported") and not use_block and not quantized:
         from ..ops import fused_block
 
-        if fused_block.supports(config):
+        wdtype = np.dtype(params["layers"]["qkv_w"].dtype)
+        if fused_block.supports(config, dtype_bytes=wdtype.itemsize):
             kernels = dict(kernels)
             kernels["encoder_block"] = fused_block.fused_encoder_layer
             use_block = True

@@ -21,6 +21,7 @@ negative value — the same zero-pad-the-tail idea as the reference's GEMM
 from __future__ import annotations
 
 import functools
+import math
 from typing import Optional
 
 import jax
@@ -40,6 +41,40 @@ _LANES = 128
 
 def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
+
+
+def _head_attention(q, k, v, scale, neg=None):
+    """One head's softmax(q·scale @ kᵀ) @ v with whole-row softmax in fp32.
+
+    Shared by every single-pass kernel (packed, split-head, fused block, and
+    the backward's recompute) so the numerics can't drift. Scaling is applied
+    to q (T×hd muls, not T²); ``neg`` is an optional additive [T, T] mask;
+    normalization scales the (T×hd) output, not the (T²) weights. Returns
+    (output fp32 [T, hd], probabilities fp32 [T, T]).
+    """
+    qs = q * jnp.asarray(scale, q.dtype)
+    s = jax.lax.dot_general(
+        qs, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    if neg is not None:
+        s = s + neg
+    m = jnp.max(s, axis=1, keepdims=True)
+    e = jnp.exp(s - m)
+    inv = 1.0 / jnp.sum(e, axis=1, keepdims=True)
+    o = jax.lax.dot(e.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    return o * inv, e * inv
+
+
+def _packed_offsets(packing: str, h: int, num_heads: int, head_dim: int):
+    """Static q/k/v column offsets for head ``h`` in a packed qkv buffer."""
+    d = num_heads * head_dim
+    if packing == "slab":
+        # q|k|v slabs of D each, head-major within (the reference's packed
+        # QKV buffer layout, multihead.cl:21-22).
+        return h * head_dim, d + h * head_dim, 2 * d + h * head_dim
+    # "per_head": [h0:(q|k|v), h1:(q|k|v), ...] — the TP layout.
+    qo = h * 3 * head_dim
+    return qo, qo + head_dim, qo + 2 * head_dim
 
 
 def _flash_kernel(
@@ -96,21 +131,14 @@ def _single_pass_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
     VMEM-resident, so softmax is one shot — no online statistics. Several
     heads per grid cell amortize grid overhead (hd=64 keeps each matmul
     half-depth on the MXU, so per-head work is small)."""
+    t_pad = q_ref.shape[1]
+    neg = None
+    if t_pad != seq_len:
+        col = jax.lax.broadcasted_iota(jnp.int32, (t_pad, t_pad), 1)
+        neg = jnp.where(col < seq_len, 0.0, MASK_VALUE).astype(jnp.float32)
     for i in range(heads_per_cell):
-        q = q_ref[i]  # [t_pad, hd]
-        k = k_ref[i]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale  # [t_pad, t_pad]
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(col < seq_len, s, MASK_VALUE)
-        m = jnp.max(s, axis=1, keepdims=True)
-        p = jnp.exp(s - m)
-        l = jnp.sum(p, axis=1, keepdims=True)
-        p = p / l
-        o_ref[i] = jax.lax.dot(
-            p.astype(v_ref.dtype), v_ref[i], preferred_element_type=jnp.float32
-        ).astype(o_ref.dtype)
+        o, _ = _head_attention(q_ref[i], k_ref[i], v_ref[i], scale, neg)
+        o_ref[i] = o.astype(o_ref.dtype)
 
 
 # Above this (padded) sequence length, whole-KV-in-VMEM stops being a good
@@ -206,7 +234,8 @@ def _blockwise_attention(
     b, h, t, hd = q.shape
     scale = float(1.0 / np.sqrt(config.head_dim))
 
-    t_pad = _cdiv(t, max(block_q, block_k)) * max(block_q, block_k)
+    lcm = block_q * block_k // math.gcd(block_q, block_k)
+    t_pad = _cdiv(t, lcm) * lcm
     if t_pad != t:
         pad = [(0, 0), (0, 0), (0, t_pad - t), (0, 0)]
         q = jnp.pad(q, pad)
@@ -277,25 +306,27 @@ def flash_attention_interpret(q, k, v, config):
 
 
 def _packed_bwd_kernel(qkv_ref, do_ref, dqkv_ref, *, scale: float,
-                       num_heads: int, head_dim: int, images_per_cell: int):
-    d = num_heads * head_dim
+                       seq_len: int, num_heads: int, head_dim: int,
+                       images_per_cell: int):
+    t_in = qkv_ref.shape[1]
+    neg = None
+    if t_in != seq_len:
+        # Padded route: mask the zero-padded KV tail in the recompute, same
+        # as the forward (padded dO rows are zero, so they contribute no
+        # gradient of their own).
+        col = jax.lax.broadcasted_iota(jnp.int32, (t_in, t_in), 1)
+        neg = jnp.where(col < seq_len, 0.0, MASK_VALUE).astype(jnp.float32)
     for img in range(images_per_cell):
         qkv = qkv_ref[img]  # [T, 3D]
         do = do_ref[img]  # [T, D]
         for h in range(num_heads):
-            qo, ko, vo = (h * head_dim, d + h * head_dim, 2 * d + h * head_dim)
+            qo, ko, vo = _packed_offsets("slab", h, num_heads, head_dim)
             q = qkv[:, qo:qo + head_dim]
             k = qkv[:, ko:ko + head_dim]
             v = qkv[:, vo:vo + head_dim]
             doh = do[:, h * head_dim:(h + 1) * head_dim]
             # Recompute the softmax (cheaper than storing [T, T] residuals).
-            s = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * scale
-            m = jnp.max(s, axis=1, keepdims=True)
-            e = jnp.exp(s - m)
-            p = e / jnp.sum(e, axis=1, keepdims=True)  # [T, T] fp32
+            _, p = _head_attention(q, k, v, scale, neg)
             # dP = dO @ V^T
             dp = jax.lax.dot_general(
                 doh, v, (((1,), (1,)), ((), ())),
@@ -334,25 +365,34 @@ def packed_attention_bwd(
     d = num_heads * head_dim
     assert three_d == 3 * d
     scale = float(1.0 / np.sqrt(head_dim))
+    # Same ragged-vs-padded routing as the forward: big misaligned blocks
+    # blow Mosaic's ragged relayout VMEM (see packed_fused_attention).
+    t_in = t
+    if t * 3 * d * qkv.dtype.itemsize > (2 << 20):
+        t_in = max(_cdiv(t, 128) * 128, 128)
+        if t_in != t:
+            qkv = jnp.pad(qkv, ((0, 0), (0, t_in - t), (0, 0)))
+            do = jnp.pad(do, ((0, 0), (0, t_in - t), (0, 0)))
     kernel = functools.partial(
-        _packed_bwd_kernel, scale=scale, num_heads=num_heads,
+        _packed_bwd_kernel, scale=scale, seq_len=t, num_heads=num_heads,
         head_dim=head_dim, images_per_cell=1,
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=(b,),
         in_specs=[
-            pl.BlockSpec((1, t, 3 * d), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, t, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, t_in, 3 * d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, t_in, d), lambda i: (i, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, t, 3 * d), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, t, 3 * d), qkv.dtype),
+        out_specs=pl.BlockSpec((1, t_in, 3 * d), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, t_in, 3 * d), qkv.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
             vmem_limit_bytes=32 << 20,
         ),
         interpret=interpret,
     )(qkv, do)
+    return out[:, :t] if t_in != t else out
 
 
 def _packed_reference_math(qkv: jax.Array, num_heads: int, head_dim: int):
@@ -414,6 +454,7 @@ def _packed_kernel(qkv_ref, o_ref, *, scale: float, seq_len: int,
     """
     d = num_heads * head_dim
     t_in = qkv_ref.shape[1]
+    neg = None
     if t_in != seq_len:
         # Padded route: additive mask for the zero-padded KV tail, hoisted
         # once per cell (shared by every head/image).
@@ -422,32 +463,14 @@ def _packed_kernel(qkv_ref, o_ref, *, scale: float, seq_len: int,
     for img in range(images_per_cell):
         qkv = qkv_ref[img]  # [T, 3D]
         for h in range(num_heads):
-            if packing == "slab":
-                # q|k|v slabs of D each, head-major within (the reference's
-                # packed-QKV buffer layout, multihead.cl:21-22).
-                qo, ko, vo = (h * head_dim, d + h * head_dim,
-                              2 * d + h * head_dim)
-            else:  # "per_head": [h0:(q|k|v), h1:(q|k|v), ...] — the TP layout
-                qo = h * 3 * head_dim
-                ko, vo = qo + head_dim, qo + 2 * head_dim
-            # Scale q (T x hd muls) instead of the scores (T^2).
-            q = qkv[:, qo:qo + head_dim] * jnp.asarray(scale, qkv.dtype)
-            k = qkv[:, ko:ko + head_dim]
-            v = qkv[:, vo:vo + head_dim]
-            s = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
+            qo, ko, vo = _packed_offsets(packing, h, num_heads, head_dim)
+            o, _ = _head_attention(
+                qkv[:, qo:qo + head_dim],
+                qkv[:, ko:ko + head_dim],
+                qkv[:, vo:vo + head_dim],
+                scale, neg,
             )
-            if t_in != seq_len:
-                s = s + neg
-            m = jnp.max(s, axis=1, keepdims=True)
-            p = jnp.exp(s - m)
-            # Normalize the (T x hd) output, not the (T^2) weights.
-            inv = 1.0 / jnp.sum(p, axis=1, keepdims=True)
-            o = jax.lax.dot(
-                p.astype(v.dtype), v, preferred_element_type=jnp.float32
-            )
-            o_ref[img, :, h * head_dim:(h + 1) * head_dim] = (o * inv).astype(
+            o_ref[img, :, h * head_dim:(h + 1) * head_dim] = o.astype(
                 o_ref.dtype
             )
 
@@ -480,20 +503,6 @@ def packed_fused_attention(
     if packing not in ("slab", "per_head"):
         raise ValueError(f"unknown packing {packing!r}")
     scale = float(1.0 / np.sqrt(hd))
-    # Ragged (unpadded) blocks are fastest at @224 scale — Mosaic masks the
-    # tile tails and the pad/slice HBM round trips disappear — but its
-    # internal relayout buffers for misaligned rows blow the 16 MB scoped
-    # VMEM limit once the qkv block gets big (empirically: 577x3072 OOMs,
-    # 197x2304 is comfortable). Route by block size; pad above the knee.
-    qkv_block_bytes = t * 3 * d * qkv.dtype.itemsize
-    ragged_ok = qkv_block_bytes <= (2 << 20)
-    t_in = t
-    if not ragged_ok:
-        t_kernel = max(_cdiv(t, 128) * 128, 128)
-        if t_kernel != t:
-            qkv = jnp.pad(qkv, ((0, 0), (0, t_kernel - t), (0, 0)))
-        t_in = t_kernel
-
     if images_per_cell is None:
         # v5e sweeps (perf/autotune.py): one image per grid cell is fastest
         # when a cell already holds enough per-head matmuls (ViT-B, 12 heads:
@@ -503,6 +512,20 @@ def packed_fused_attention(
         images_per_cell = int(max(1, min(4, b, 12 // nh)))
     while b % images_per_cell:
         images_per_cell -= 1
+    # Ragged (unpadded) blocks are fastest at @224 scale — Mosaic masks the
+    # tile tails and the pad/slice HBM round trips disappear — but its
+    # internal relayout buffers for misaligned rows blow the 16 MB scoped
+    # VMEM limit once the (whole, images_per_cell-wide) block gets big
+    # (empirically: 577x3072 OOMs, 197x2304 is comfortable). Route by block
+    # size; pad above the knee.
+    qkv_block_bytes = images_per_cell * t * 3 * d * qkv.dtype.itemsize
+    ragged_ok = qkv_block_bytes <= (2 << 20)
+    t_in = t
+    if not ragged_ok:
+        t_kernel = max(_cdiv(t, 128) * 128, 128)
+        if t_kernel != t:
+            qkv = jnp.pad(qkv, ((0, 0), (0, t_kernel - t), (0, 0)))
+        t_in = t_kernel
 
     kernel = functools.partial(
         _packed_kernel, scale=scale, seq_len=t, num_heads=nh, head_dim=hd,

@@ -25,6 +25,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import ViTConfig
+from . import attention
 
 
 def _erf_approx(x):
@@ -46,7 +47,7 @@ def _block_kernel(
     *, num_heads: int, head_dim: int, eps: float, images_per_cell: int,
 ):
     d = num_heads * head_dim
-    scale = jnp.asarray(1.0 / np.sqrt(head_dim), jnp.float32)
+    scale = float(1.0 / np.sqrt(head_dim))
 
     def ln(xf, w_ref, b_ref):
         mean = jnp.mean(xf, axis=-1, keepdims=True)
@@ -63,19 +64,13 @@ def _block_kernel(
         qkv = (qkv + qkvb_ref[0].astype(jnp.float32)).astype(x_ref.dtype)
         ctx_parts = []
         for hh in range(num_heads):
-            q = qkv[:, hh * head_dim:(hh + 1) * head_dim]
-            k = qkv[:, d + hh * head_dim: d + (hh + 1) * head_dim]
-            v = qkv[:, 2 * d + hh * head_dim: 2 * d + (hh + 1) * head_dim]
-            s = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * scale
-            m = jnp.max(s, axis=1, keepdims=True)
-            p = jnp.exp(s - m)
-            inv = 1.0 / jnp.sum(p, axis=1, keepdims=True)
-            o = jax.lax.dot(p.astype(v.dtype), v,
-                            preferred_element_type=jnp.float32)
-            ctx_parts.append((o * inv).astype(x_ref.dtype))
+            qo, ko, vo = attention._packed_offsets("slab", hh, num_heads,
+                                                   head_dim)
+            o, _ = attention._head_attention(
+                qkv[:, qo:qo + head_dim], qkv[:, ko:ko + head_dim],
+                qkv[:, vo:vo + head_dim], scale,
+            )
+            ctx_parts.append(o.astype(x_ref.dtype))
         ctx = jnp.concatenate(ctx_parts, axis=-1)  # [T, D]
         attn = jnp.dot(ctx, outw_ref[...], preferred_element_type=jnp.float32)
         x = x + attn + outb_ref[0].astype(jnp.float32)  # residual 1 (fp32)
@@ -157,7 +152,11 @@ def fused_encoder_layer(
 
 
 def supports(config: ViTConfig, dtype_bytes: int = 2) -> bool:
-    """Whether this config's per-layer weights fit the fused-block budget."""
+    """Whether this config can use the fused block: per-layer weights must
+    fit the VMEM budget and the activation must be the erf GELU this kernel
+    implements (tanh-approx configs use the per-op path)."""
+    if config.gelu_approx != "erf":
+        return False
     d, h = config.embed_dim, config.hidden_dim
     weight_bytes = (d * 3 * d + d * d + d * h + h * d) * dtype_bytes
     return weight_bytes <= FUSED_BLOCK_MAX_WEIGHT_BYTES
