@@ -89,3 +89,16 @@ def test_load_label_file(tmp_path):
     p = tmp_path / "labels.txt"
     p.write_text("5\n7\n\n9\n")
     assert results.load_label_file(p) == [5, 7, 9]
+
+
+def test_result_line_roundtrip_fuzz():
+    """Property: format -> parse is exact for any (label, prob) we can emit."""
+    rng = np.random.default_rng(0)
+    for _ in range(200):
+        label = int(rng.integers(0, 1000))
+        prob = float(np.round(rng.random(), 6))
+        line = results.format_result_line(int(rng.integers(0, 100)), label, prob)
+        parsed = results.parse_result_line(line)
+        assert parsed is not None
+        assert parsed[0] == label
+        assert abs(parsed[1] - prob) < 1e-9

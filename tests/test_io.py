@@ -150,3 +150,18 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(params),
                     jax.tree_util.tree_leaves(restored)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_weight_maps_consistent_across_presets():
+    """Every preset's name list and shape dict must agree exactly."""
+    from vit_with_opencl_tpu import PRESETS
+
+    for name, cfg in PRESETS.items():
+        names = binfmt.weight_names(cfg)
+        shapes = binfmt.weight_shapes(cfg)
+        assert set(names) == set(shapes), name
+        assert len(names) == len(set(names)), f"{name}: duplicate names"
+        # positional round trip through the filename parser
+        for idx, n in enumerate(names):
+            parsed = binfmt.parse_index_from_filename(f"Weight_{idx}_{n}.bin")
+            assert parsed == (idx, n)
