@@ -32,6 +32,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from vit_with_opencl_tpu.engine import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from vit_with_opencl_tpu import get_config
     from vit_with_opencl_tpu.models import vit
 

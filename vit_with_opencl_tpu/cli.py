@@ -30,8 +30,9 @@ def _run_backend(backend: str, images: np.ndarray, params, cfg,
 
         return golden.golden_forward(images, params, cfg)
     elif backend == "tpu":
-        from .engine import InferenceEngine
+        from .engine import InferenceEngine, enable_compilation_cache
 
+        enable_compilation_cache()
         engine = InferenceEngine(
             cfg, params, batch_size=batch_size, attention_impl=attention,
             quantize=quantize,

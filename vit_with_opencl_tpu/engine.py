@@ -32,6 +32,27 @@ from .config import ViTConfig
 from .models import vit
 
 
+def enable_compilation_cache(path: str | None = None) -> None:
+    """Enable JAX's persistent compilation cache so repeated CLI/daemon
+    startups skip XLA recompiles (the reference pays its program build on
+    every run — ViT_opencl.c:832-906; we don't have to)."""
+    import os
+
+    import jax
+
+    cache_dir = path or os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "vit_tpu_xla"),
+    )
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass  # cache is an optimization; never fail startup over it
+
+
+
 class InferenceEngine:
     """Compiled batched ViT inference on one device.
 

@@ -272,8 +272,9 @@ def main(argv=None) -> int:
                         "(4x less wire + host->device traffic)")
     args = parser.parse_args(argv)
 
-    from .engine import InferenceEngine
+    from .engine import InferenceEngine, enable_compilation_cache
 
+    enable_compilation_cache()
     cfg = config_lib.get_config(args.config)
     weights = binfmt.weights_to_dict(
         binfmt.load_weights(args.weights, cfg, strict=True), cfg
