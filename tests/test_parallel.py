@@ -209,3 +209,33 @@ def test_train_step_flash_kernels_descend(setup):
         params, loss = step(params, imgs, labels)
     assert float(loss) < float(loss0)
     assert np.isfinite(float(loss))
+
+
+def test_parallel_paths_bf16_smoke(setup):
+    """bf16 compute through tp/sp/pp: compiles, runs, stays within the
+    comparator gate of the fp32 golden result."""
+    stacked_f32, images, ref = setup
+    import jax.numpy as jnp
+    from vit_with_opencl_tpu.models import vit as vitmod
+    from vit_with_opencl_tpu.harness import fixtures as fx
+    from vit_with_opencl_tpu.parallel import pipeline
+
+    named = fx.random_params(CFG, seed=3, scale=0.05)
+    stacked = vitmod.stack_params(named, CFG, param_dtype=jnp.bfloat16)
+    imgs = jnp.asarray(images)
+
+    mesh = spmd.make_mesh(data=2, model=2)
+    p_tp = spmd.shard_params_tp(stacked, mesh, CFG)
+    tp = np.asarray(spmd.tp_forward(imgs, p_tp, CFG, mesh,
+                                    compute_dtype=jnp.bfloat16))
+    sp = np.asarray(spmd.sp_forward(imgs, stacked, CFG, mesh,
+                                    compute_dtype=jnp.bfloat16))
+    pmesh = pipeline.make_pipe_mesh(2)
+    p_pp = pipeline.shard_params_pp(stacked, pmesh, CFG)
+    pp = np.asarray(pipeline.pp_forward(imgs, p_pp, CFG, pmesh,
+                                        n_microbatches=2,
+                                        compute_dtype=jnp.bfloat16))
+    for name, got in [("tp", tp), ("sp", sp), ("pp", pp)]:
+        assert np.isfinite(got).all(), name
+        assert np.abs(got - ref).max() < 5e-3, name
+        assert (got.argmax(-1) == ref.argmax(-1)).all(), name
