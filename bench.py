@@ -41,7 +41,7 @@ def main():
 
     cfg = get_config(os.environ.get("BENCH_CONFIG", "vit_b_16_224"))
     batch = int(os.environ.get("BENCH_BATCH", "256"))
-    iters = int(os.environ.get("BENCH_ITERS", "20"))
+    iters = int(os.environ.get("BENCH_ITERS", "50"))
     attention_impl = os.environ.get("BENCH_ATTN", "flash")
 
     dev = jax.devices()[0]
