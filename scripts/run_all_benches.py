@@ -12,11 +12,11 @@ import sys
 
 CONFIGS = [
     # (config, batch, iters)
-    ("vit_b_16_224", 256, 15),
-    ("vit_l_16_384", 64, 8),
-    ("vit_tiny_16_224", 1024, 10),
-    ("deit_b_16_224", 256, 10),
-    ("clip_vit_b_16", 256, 10),
+    ("vit_b_16_224", 256, 50),
+    ("vit_l_16_384", 64, 20),
+    ("vit_tiny_16_224", 1024, 30),
+    ("deit_b_16_224", 256, 30),
+    ("clip_vit_b_16", 256, 30),
 ]
 
 
