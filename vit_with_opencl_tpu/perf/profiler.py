@@ -128,9 +128,19 @@ def profile_ops(
     add("qkv_proj",
         lambda h, lp: kernels["matmul"](h, lp["qkv_w"], lp["qkv_b"]),
         (x, lp0), L)
-    add("attention_core",
-        lambda q: kernels["attention"](q[0], q[1], q[2], config),
-        (qkv,), L)
+    if "attention_packed" in kernels:
+        # Time the packed kernel the jit engine actually uses.
+        qkv_packed = jax.jit(
+            lambda h, lp: kernels["matmul"](h, lp["qkv_w"], lp["qkv_b"])
+        )(x, lp0)
+        _fence(qkv_packed)
+        add("attention_core(packed)",
+            lambda qk: kernels["attention_packed"](qk, config),
+            (qkv_packed,), L)
+    else:
+        add("attention_core",
+            lambda q: kernels["attention"](q[0], q[1], q[2], config),
+            (qkv,), L)
     add("out_proj",
         lambda h, lp: kernels["matmul"](h, lp["out_w"], lp["out_b"]),
         (x, lp0), L)
