@@ -125,7 +125,6 @@ class InferenceEngine:
             _forward = checked_forward(_forward, what=f"{config.name} forward")
         self._forward = _forward
         self.setup_time = time.perf_counter() - t0
-        self._compiled = False
 
     def warmup(self) -> float:
         """Trigger compilation (the reference's program-build phase,
@@ -140,7 +139,6 @@ class InferenceEngine:
         # Fence with a real host fetch: on some runtimes (the tunneled axon
         # platform) block_until_ready returns before execution completes.
         np.asarray(out.ravel()[:1])
-        self._compiled = True
         return time.perf_counter() - t0
 
     def run(self, images: np.ndarray) -> np.ndarray:
