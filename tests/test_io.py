@@ -165,3 +165,25 @@ def test_weight_maps_consistent_across_presets():
         for idx, n in enumerate(names):
             parsed = binfmt.parse_index_from_filename(f"Weight_{idx}_{n}.bin")
             assert parsed == (idx, n)
+
+
+def test_checkpoint_to_forward_roundtrip(tmp_path):
+    """Params restored from an Orbax checkpoint produce identical outputs."""
+    import jax.numpy as jnp
+
+    from vit_with_opencl_tpu import ViTConfig
+    from vit_with_opencl_tpu.io import checkpoint
+    from vit_with_opencl_tpu.models import vit
+
+    cfg = ViTConfig(name="ckf", img_size=32, patch_size=8, embed_dim=48,
+                    depth=1, num_heads=4, num_classes=5)
+    params = vit.stack_params(fixtures.random_params(cfg, seed=2), cfg,
+                              param_dtype=jnp.float32)
+    images = jnp.asarray(fixtures.random_images(cfg, n=2, seed=2))
+    before = np.asarray(vit.forward(images, params, cfg,
+                                    compute_dtype=jnp.float32))
+    checkpoint.save_checkpoint(tmp_path / "ck", params)
+    restored = checkpoint.load_checkpoint(tmp_path / "ck", like=params)
+    after = np.asarray(vit.forward(images, restored, cfg,
+                                   compute_dtype=jnp.float32))
+    np.testing.assert_array_equal(before, after)
