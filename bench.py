@@ -2,14 +2,21 @@
 
 Prints ONE JSON line:
   {"metric": ..., "value": images/sec/chip, "unit": "images/sec",
-   "vs_baseline": fraction of the BASELINE target (90% of v5e bf16 roofline)}
+   "vs_baseline": fraction of the BASELINE target (90% of v5e bf16 roofline),
+   "vs_measured": fraction of the SAME target recomputed against the chip's
+   measured (not spec) peak, "calibration": {...}}
 
 The reference publishes no numbers (BASELINE.md); the baseline is therefore
 the roofline target from BASELINE.json: >=90% of peak-FLOPs-implied
-images/sec for the ~17.5 GFLOP ViT-B/16 forward pass on v5e.
+images/sec for the ~35 GFLOP ViT-B/16 forward pass on v5e. The tunneled
+preview chip sustains well below the 197 TF/s v5e spec on ANY pure GEMM
+(measured ~127-131 TF/s), so the record carries both denominators: the spec
+roofline (vs_baseline, honest about the paper target) and a fresh
+same-methodology GEMM calibration (vs_measured, honest about the silicon).
 
 Env knobs: BENCH_CONFIG (preset name), BENCH_BATCH, BENCH_ITERS, BENCH_PARITY=1
-(adds a bf16-vs-golden parity check on stderr).
+(adds a bf16-vs-golden parity check on stderr), BENCH_CALIBRATE=0 (skip the
+measured-ceiling GEMM sweep).
 """
 
 import json
@@ -115,29 +122,54 @@ def main():
         f"MFU {achieved_tflops / peak_tflops * 100:.1f}%",
         file=sys.stderr,
     )
-    # Note: the tunneled preview chip measures ~131 TF/s on an 8192^3 bf16
-    # GEMM (vs the 197 TF/s v5e spec used for the roofline above); MFU
-    # against the *measured* ceiling is ~1.5x the printed figure. Set
-    # BENCH_CALIBRATE=1 to re-measure.
-    if os.environ.get("BENCH_CALIBRATE") == "1":
-        import numpy as _np
-
-        a = jax.jit(
-            lambda kk: jax.random.normal(kk, (8192, 8192), jnp.bfloat16)
-        )(jax.random.key(9))
-        _np.asarray(a[0, :1])
-        g = jax.jit(lambda x_, y_: jnp.dot(
-            x_, y_, preferred_element_type=jnp.float32).astype(jnp.bfloat16))
-        o = g(a, a)
-        _np.asarray(o[0, :1])
-        t0 = time.perf_counter()
-        for _ in range(10):
-            o = g(a, a)
-        _np.asarray(o[0, :1])
-        ms = (time.perf_counter() - t0) / 10 * 1e3
-        peak_meas = 2 * 8192**3 / 1e9 / ms
+    # Measured-ceiling calibration (default ON; BENCH_CALIBRATE=0 skips).
+    # Same methodology as the model loop above: jit once, warm run, queue
+    # `iters` dispatches, fence with one host fetch. The ceiling is the best
+    # TF/s over a few large GEMM shapes — the tunneled preview chip sustains
+    # ~127-131 TF/s vs the 197 TF/s v5e spec, and the model's MFU is quoted
+    # against both.
+    calibration = None
+    if os.environ.get("BENCH_CALIBRATE", "1") != "0":
+        peak_meas = 0.0
+        cal_iters = max(10, iters // 2)
+        for mkn in ((8192, 8192, 8192), (4096, 16384, 8192)):
+            m, k, n2 = mkn
+            a = jax.jit(
+                lambda: (jax.lax.broadcasted_iota(jnp.int32, (m, k), 1)
+                         % 251).astype(jnp.bfloat16) * 0.01
+            )()
+            bmat = jax.jit(
+                lambda: (jax.lax.broadcasted_iota(jnp.int32, (k, n2), 0)
+                         % 253).astype(jnp.bfloat16) * 0.01
+            )()
+            np.asarray(a[0, :1]); np.asarray(bmat[0, :1])
+            g = jax.jit(lambda x_, y_: jnp.dot(
+                x_, y_, preferred_element_type=jnp.float32
+            ).astype(jnp.bfloat16))
+            o = g(a, bmat)
+            np.asarray(o[0, :1])
+            o = g(a, bmat)
+            np.asarray(o[0, :1])
+            t0 = time.perf_counter()
+            for _ in range(cal_iters):
+                o = g(a, bmat)
+            np.asarray(o[0, :1])
+            ms = (time.perf_counter() - t0) / cal_iters * 1e3
+            tf = 2 * m * k * n2 / 1e9 / ms
+            print(f"calibration GEMM {m}x{k}x{n2}: {tf:.1f} TF/s",
+                  file=sys.stderr)
+            peak_meas = max(peak_meas, tf)
+        calibration = {
+            "measured_peak_tflops": round(peak_meas, 1),
+            "spec_peak_tflops": peak_tflops,
+            "method": (f"best of bf16 GEMM shapes, jit+warm, {cal_iters}-iter "
+                       "queued dispatch, host-fetch fence (same as model loop)"),
+            "flop_convention": "matmul MACs*2 incl. attention scores/PV, "
+                               "excl. LN/softmax/GELU",
+        }
         print(f"measured chip peak: {peak_meas:.1f} TF/s "
-              f"(MFU vs measured: {achieved_tflops / peak_meas * 100:.1f}%)",
+              f"(MFU vs measured: {achieved_tflops / peak_meas * 100:.1f}%, "
+              f"vs spec: {achieved_tflops / peak_tflops * 100:.1f}%)",
               file=sys.stderr)
 
     if os.environ.get("BENCH_PARITY") == "1":
@@ -161,16 +193,20 @@ def main():
         print(f"parity: max abs err vs golden = {err:.2e} "
               f"({'OK' if err < 1e-3 else 'FAIL'} vs 1e-3 gate)", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": f"images/sec/chip ({cfg.name}, bf16, batch={batch})",
-                "value": round(imgs_per_sec, 1),
-                "unit": "images/sec",
-                "vs_baseline": round(imgs_per_sec / target, 4),
-            }
-        )
-    )
+    record = {
+        "metric": f"images/sec/chip ({cfg.name}, bf16, batch={batch})",
+        "value": round(imgs_per_sec, 1),
+        "unit": "images/sec",
+        "vs_baseline": round(imgs_per_sec / target, 4),
+        "achieved_tflops": round(achieved_tflops, 1),
+    }
+    if calibration is not None:
+        # Same 90%-of-roofline target, with the roofline recomputed from the
+        # chip's measured GEMM ceiling instead of the spec sheet.
+        measured_roofline = calibration["measured_peak_tflops"] * 1e3 / gflop
+        record["vs_measured"] = round(imgs_per_sec / (0.9 * measured_roofline), 4)
+        record["calibration"] = calibration
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

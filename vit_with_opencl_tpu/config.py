@@ -82,7 +82,14 @@ class ViTConfig:
 
     @property
     def flops_per_image(self) -> int:
-        """Forward-pass MAC*2 count (for roofline accounting)."""
+        """Forward-pass MAC*2 count (for roofline accounting).
+
+        Convention: counts every matmul's MACs*2 — patch embed, QKV,
+        attention scores AND probs@V (the 2*t*t*d term), out-proj, MLP,
+        head — and excludes non-matmul work (LN, softmax, GELU, residuals).
+        This is the standard MFU numerator; quoting roofline img/s from it
+        therefore *includes* attention FLOPs in the denominator (a few %
+        at 197 tokens)."""
         t, d, h = self.num_tokens, self.embed_dim, self.hidden_dim
         patch = self.num_patches * d * (self.in_chans * self.patch_size**2)
         per_layer = (

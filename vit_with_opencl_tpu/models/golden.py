@@ -17,7 +17,13 @@ from __future__ import annotations
 from typing import Dict
 
 import numpy as np
-from scipy.special import erf as _scipy_erf  # optional; fallback below
+
+try:  # scipy is optional: fall back to vectorized math.erf without it
+    from scipy.special import erf as _erf_impl
+except ImportError:  # pragma: no cover - exercised only without scipy
+    import math
+
+    _erf_impl = np.vectorize(math.erf, otypes=[np.float32])
 
 from ..config import ViTConfig
 
@@ -37,7 +43,7 @@ f32 = np.float32
 
 
 def _erf(x: np.ndarray) -> np.ndarray:
-    return _scipy_erf(x)
+    return _erf_impl(x)
 
 
 def gelu(x: np.ndarray) -> np.ndarray:

@@ -74,9 +74,17 @@ def matmul_q(x: jax.Array, w: Any, b: Any, compute_dtype=None) -> jax.Array:
     epilogue — fused by XLA.
     """
     if is_quantized(w):
+        if w["q"].ndim != 2:
+            # A full stacked weight ({q: [L, in, out]}) would broadcast layer
+            # 0's scale over every layer — wrong numerics with no shape error.
+            # Callers must pass one lax.scan-sliced layer at a time.
+            raise ValueError(
+                f"matmul_q expects a single layer's 2D weight, got q shape "
+                f"{w['q'].shape}"
+            )
         wq = w["q"].astype(x.dtype)
         out = jnp.dot(x, wq, preferred_element_type=jnp.float32)
-        out = out * w["scale"][0]
+        out = out * w["scale"][..., 0, :]
     else:
         out = jnp.dot(x, w, preferred_element_type=jnp.float32)
     if b is not None:

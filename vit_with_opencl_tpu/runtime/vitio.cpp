@@ -16,6 +16,7 @@
 //   * 6-decimal rounding (Network.c:208-211 semantics: roundf half away
 //     from zero on the float32 product) is a flag, on by default.
 
+#include <algorithm>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -129,22 +130,29 @@ int vitio_load_weights(const char* directory, int count, int round_to_6dp,
     set_error(std::string("cannot open directory ") + directory);
     return -1;
   }
+  // Collect and sort names first so duplicate-index resolution ("last wins")
+  // matches the NumPy loader's sorted(os.listdir()) order, not readdir()'s
+  // filesystem order.
+  std::vector<std::string> names;
   struct dirent* entry;
   while ((entry = readdir(dir)) != nullptr) {
-    int idx = parse_weight_index(entry->d_name);
+    if (parse_weight_index(entry->d_name) >= 0) names.push_back(entry->d_name);
+  }
+  closedir(dir);
+  std::sort(names.begin(), names.end());
+  for (const std::string& name : names) {
+    int idx = parse_weight_index(name.c_str());
     if (idx < 0 || idx >= count) continue;
-    std::string path = std::string(directory) + "/" + entry->d_name;
+    std::string path = std::string(directory) + "/" + name;
     FILE* fp = std::fopen(path.c_str(), "rb");
     if (!fp) {
       set_error("cannot open " + path);
-      closedir(dir);
       return -1;
     }
     struct stat st;
     if (stat(path.c_str(), &st) != 0 || st.st_size % sizeof(float) != 0) {
       set_error("bad size for " + path);
       std::fclose(fp);
-      closedir(dir);
       return -1;
     }
     size_t n = (size_t)st.st_size / sizeof(float);
@@ -153,7 +161,6 @@ int vitio_load_weights(const char* directory, int count, int round_to_6dp,
       set_error("short read in " + path);
       std::free(buf);
       std::fclose(fp);
-      closedir(dir);
       return -1;
     }
     std::fclose(fp);
@@ -162,7 +169,6 @@ int vitio_load_weights(const char* directory, int count, int round_to_6dp,
     data_out[idx] = buf;
     size_out[idx] = (int64_t)n;
   }
-  closedir(dir);
   if (strict) {
     int missing = 0;
     for (int i = 0; i < count; ++i)

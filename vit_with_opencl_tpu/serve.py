@@ -238,6 +238,12 @@ def classify(
 
     uint8 arrays go over the wire as raw pixels (4x smaller; requires a
     server started with --uint8); anything else is sent as float32."""
+    if images.ndim != 4:
+        # The wire header is exactly 4 int32s (n, c, h, w); a CHW array would
+        # send a misaligned body the server rejects confusingly.
+        raise ValueError(
+            f"classify expects a [n, c, h, w] batch, got shape {images.shape}"
+        )
     wire = images if images.dtype == np.uint8 else np.asarray(images, "<f4")
     payload = (
         np.asarray(images.shape, "<i4").tobytes()
