@@ -408,3 +408,98 @@ def test_packed_bwd_padded_route_grads():
     g_r = jax.grad(lambda x: jnp.sum(
         _packed_reference_math(x, nh, hd) ** 2))(qkv)
     np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_r), atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# Blockwise (long-sequence) attention: forward + TRUE flash backward.
+# The packed backward rematerializes [T, T] per head; past the single-pass
+# regime the custom VJP must route to the blockwise kernels instead, which
+# reconstruct probabilities tile-by-tile from the saved log-sum-exp.
+# ---------------------------------------------------------------------------
+
+
+def test_packed_inference_long_seq_routes_blockwise():
+    """packed_fused_attention past SINGLE_PASS_MAX_T must reroute to the
+    blockwise kernel and still match the reference math."""
+    from vit_with_opencl_tpu.ops.attention import (
+        SINGLE_PASS_MAX_T,
+        _packed_reference_math,
+        packed_fused_attention,
+    )
+
+    r = rng()
+    nh, hd, t = 2, 64, SINGLE_PASS_MAX_T + 313  # odd tail → padded tiles
+    qkv = jnp.asarray((r.standard_normal((1, t, 3 * nh * hd)) * 0.4)
+                      .astype(np.float32))
+    out = packed_fused_attention(qkv, num_heads=nh, head_dim=hd)
+    ref = _packed_reference_math(qkv, nh, hd)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+@pytest.mark.parametrize("t", [2048, 4096])
+def test_blockwise_bwd_long_seq_grads(t):
+    """Long-sequence training gradients: the blockwise custom-VJP route
+    (no [T, T] residency) vs differentiating the pure-jnp math."""
+    from vit_with_opencl_tpu.ops.attention import (
+        _packed_reference_math,
+        packed_fused_attention_trainable,
+    )
+
+    r = rng()
+    nh, hd = 1, 64
+    qkv = jnp.asarray((r.standard_normal((1, t, 3 * nh * hd)) * 0.3)
+                      .astype(np.float32))
+
+    def loss_pallas(x):
+        return jnp.sum(jnp.cos(packed_fused_attention_trainable(x, nh, hd)))
+
+    def loss_ref(x):
+        return jnp.sum(jnp.cos(_packed_reference_math(x, nh, hd)))
+
+    v_p, g_p = jax.value_and_grad(loss_pallas)(qkv)
+    v_r, g_r = jax.value_and_grad(loss_ref)(qkv)
+    np.testing.assert_allclose(float(v_p), float(v_r), rtol=1e-5)
+    scale = float(np.abs(np.asarray(g_r)).max())
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_r),
+                               atol=1e-4 * max(scale, 1.0))
+
+
+def test_blockwise_bwd_ragged_tail_grads():
+    """Gradients through the long route with a non-multiple-of-128 length:
+    padded dO rows must contribute exactly zero gradient."""
+    from vit_with_opencl_tpu.ops.attention import (
+        _packed_reference_math,
+        packed_fused_attention_trainable,
+    )
+
+    r = rng()
+    nh, hd, t = 2, 32, 1537  # pads to 1664
+    qkv = jnp.asarray((r.standard_normal((1, t, 3 * nh * hd)) * 0.3)
+                      .astype(np.float32))
+    g_p = jax.grad(lambda x: jnp.sum(
+        packed_fused_attention_trainable(x, nh, hd) ** 2))(qkv)
+    g_r = jax.grad(lambda x: jnp.sum(
+        _packed_reference_math(x, nh, hd) ** 2))(qkv)
+    scale = float(np.abs(np.asarray(g_r)).max())
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_r),
+                               atol=1e-4 * max(scale, 1.0))
+
+
+def test_blockwise_fwd_lse_matches_logsumexp():
+    """The saved residual must be the exact per-row softmax log-normalizer."""
+    from vit_with_opencl_tpu.ops import attention as A
+
+    r = rng()
+    n, t, hd = 2, 256, 64
+    q = jnp.asarray(r.standard_normal((n, t, hd)).astype(np.float32))
+    k = jnp.asarray(r.standard_normal((n, t, hd)).astype(np.float32))
+    v = jnp.asarray(r.standard_normal((n, t, hd)).astype(np.float32))
+    scale = 1.0 / np.sqrt(hd)
+    out, lse = A._blockwise_fwd_flat(
+        q, k, v, scale=scale, seq_len=t, block_q=128, block_k=128,
+        interpret=True, return_lse=True,
+    )
+    s = jnp.einsum("ntd,nsd->nts", q, k) * scale
+    ref_lse = jax.scipy.special.logsumexp(s, axis=-1)
+    np.testing.assert_allclose(np.asarray(lse), np.asarray(ref_lse),
+                               atol=1e-4)

@@ -239,3 +239,43 @@ def test_parallel_paths_bf16_smoke(setup):
         assert np.isfinite(got).all(), name
         assert np.abs(got - ref).max() < 5e-3, name
         assert (got.argmax(-1) == ref.argmax(-1)).all(), name
+
+
+def test_sp_forward_ring_matches_golden(setup):
+    """Sequence parallelism with ring-rotated KV (kv='ring') — ring attention
+    wired into a real model forward, not just the orphan op."""
+    stacked, images, ref = setup
+    mesh = spmd.make_mesh(data=2, model=4)
+    probs = spmd.sp_forward(
+        jnp.asarray(images), stacked, CFG, mesh, compute_dtype=jnp.float32,
+        kv="ring",
+    )
+    np.testing.assert_allclose(np.asarray(probs), ref, atol=1e-5)
+    with pytest.raises(ValueError, match="kv strategy"):
+        spmd.sp_forward(jnp.asarray(images), stacked, CFG, mesh, kv="warp")
+
+
+def test_train_step_flash_long_seq_descends():
+    """make_train_step(attention_impl='flash') on a T>=2048 config: the
+    custom VJP must route both directions through the blockwise kernels
+    (nothing [T, T]-shaped) and still descend."""
+    long_cfg = ViTConfig(
+        name="par_long", img_size=368, patch_size=8, embed_dim=64,
+        depth=1, num_heads=1, num_classes=5,
+    )
+    assert long_cfg.num_tokens >= 2048  # 46*46+1 = 2117
+    mesh = spmd.make_mesh(data=2, model=1)
+    params = vit.random_stacked_params(long_cfg, jax.random.key(0),
+                                       param_dtype=jnp.float32)
+    params = spmd.shard_params_gspmd(params, mesh, long_cfg)
+    images = jnp.asarray(
+        np.random.default_rng(0).standard_normal(
+            (2, 3, 368, 368)).astype(np.float32))
+    labels = jnp.arange(2) % long_cfg.num_classes
+    step = spmd.make_train_step(long_cfg, mesh, lr=1e-2,
+                                attention_impl="flash")
+    params, loss0 = step(params, images, labels)
+    for _ in range(2):
+        params, loss = step(params, images, labels)
+    assert np.isfinite(float(loss))
+    assert float(loss) < float(loss0)

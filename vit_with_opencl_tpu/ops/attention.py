@@ -80,6 +80,7 @@ def _packed_offsets(packing: str, h: int, num_heads: int, head_dim: int):
 def _flash_kernel(
     q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
     scale: float, seq_len: int, block_k: int, num_kv_blocks: int,
+    lse_ref=None,
 ):
     kv_idx = pl.program_id(2)
 
@@ -123,6 +124,18 @@ def _flash_kernel(
         l_final = l_ref[:, 0:1]
         l_inv = jnp.where(l_final == 0.0, 1.0, 1.0 / l_final)
         o_ref[0] = (acc_ref[...] * l_inv).astype(o_ref.dtype)
+        if lse_ref is not None:
+            # Per-row softmax log-normalizer, the only residual the blockwise
+            # backward needs beyond q/k/v/o (p = exp(s - lse) reconstructs
+            # the probabilities tile-by-tile).
+            l_safe = jnp.where(l_final == 0.0, 1.0, l_final)
+            lse_ref[0] = (m_ref[:, 0:1] + jnp.log(l_safe))[:, 0]
+
+
+def _flash_kernel_lse(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref,
+                      acc_ref, **kw):
+    _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
+                  lse_ref=lse_ref, **kw)
 
 
 def _single_pass_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
@@ -246,27 +259,54 @@ def _blockwise_attention(
     kf = k.reshape(b * h, t_pad, hd)
     vf = v.reshape(b * h, t_pad, hd)
 
-    # The kernel masks KV columns >= seq_len; bake the true length in.
-    n = b * h
+    out, _ = _blockwise_fwd_flat(
+        qf, kf, vf, scale=scale, seq_len=t, block_q=block_q, block_k=block_k,
+        interpret=interpret, return_lse=False,
+    )
+    out = out.reshape(b, h, t_pad, hd)
+    return out[:, :, :t] if t_pad != t else out
+
+
+def _blockwise_fwd_flat(
+    qf: jax.Array,
+    kf: jax.Array,
+    vf: jax.Array,
+    *,
+    scale: float,
+    seq_len: int,
+    block_q: int,
+    block_k: int,
+    interpret: bool,
+    return_lse: bool,
+):
+    """Blockwise flash forward on flat, pre-padded [n, t_pad, hd] inputs.
+
+    Returns (out [n, t_pad, hd], lse [n, t_pad] f32 or None). The kernel
+    masks KV columns >= seq_len (padded tail)."""
+    n, t_pad, hd = qf.shape
     num_q_blocks = t_pad // block_q
     num_kv_blocks = t_pad // block_k
-    kernel = functools.partial(
-        _flash_kernel,
-        scale=scale,
-        seq_len=t,
-        block_k=block_k,
-        num_kv_blocks=num_kv_blocks,
-    )
-    out = pl.pallas_call(
+    kw = dict(scale=scale, seq_len=seq_len, block_k=block_k,
+              num_kv_blocks=num_kv_blocks)
+    qspec = pl.BlockSpec((1, block_q, hd), lambda bi, qi, ki: (bi, qi, 0))
+    kspec = pl.BlockSpec((1, block_k, hd), lambda bi, qi, ki: (bi, ki, 0))
+    out_shape = jax.ShapeDtypeStruct((n, t_pad, hd), qf.dtype)
+    if return_lse:
+        kernel = functools.partial(_flash_kernel_lse, **kw)
+        out_specs = [qspec, pl.BlockSpec((1, block_q),
+                                         lambda bi, qi, ki: (bi, qi))]
+        out_shapes = [out_shape,
+                      jax.ShapeDtypeStruct((n, t_pad), jnp.float32)]
+    else:
+        kernel = functools.partial(_flash_kernel, **kw)
+        out_specs = qspec
+        out_shapes = out_shape
+    result = pl.pallas_call(
         kernel,
         grid=(n, num_q_blocks, num_kv_blocks),
-        in_specs=[
-            pl.BlockSpec((1, block_q, hd), lambda bi, qi, ki: (bi, qi, 0)),
-            pl.BlockSpec((1, block_k, hd), lambda bi, qi, ki: (bi, ki, 0)),
-            pl.BlockSpec((1, block_k, hd), lambda bi, qi, ki: (bi, ki, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, block_q, hd), lambda bi, qi, ki: (bi, qi, 0)),
-        out_shape=jax.ShapeDtypeStruct((n, t_pad, hd), q.dtype),
+        in_specs=[qspec, kspec, kspec],
+        out_specs=out_specs,
+        out_shape=out_shapes,
         scratch_shapes=[
             pltpu.VMEM((block_q, _LANES), jnp.float32),
             pltpu.VMEM((block_q, _LANES), jnp.float32),
@@ -277,15 +317,15 @@ def _blockwise_attention(
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * n * t_pad * t_pad * hd,
-            bytes_accessed=3 * n * t_pad * hd * q.dtype.itemsize
-            + n * t_pad * hd * q.dtype.itemsize,
+            bytes_accessed=3 * n * t_pad * hd * qf.dtype.itemsize
+            + n * t_pad * hd * qf.dtype.itemsize,
             transcendentals=n * t_pad * t_pad,
         ),
         interpret=interpret,
     )(qf, kf, vf)
-
-    out = out.reshape(b, h, t_pad, hd)
-    return out[:, :, :t] if t_pad != t else out
+    if return_lse:
+        return result[0], result[1]
+    return result, None
 
 
 def flash_attention_interpret(q, k, v, config):
@@ -395,6 +435,183 @@ def packed_attention_bwd(
     return out[:, :t] if t_in != t else out
 
 
+# ---------------------------------------------------------------------------
+# Blockwise (long-sequence) attention backward — true flash backward.
+#
+# The packed backward above rematerializes the whole [T, T] probability
+# matrix per head in VMEM, which caps trainable sequence length around the
+# single-pass regime. These kernels remove that cap: like the forward, they
+# tile the KV (resp. Q) axis over the grid and reconstruct probabilities one
+# [block_q, block_k] tile at a time from the forward's saved log-sum-exp, so
+# VMEM holds only O(block_q * block_k) scores regardless of T. This finishes
+# the removal of the reference's seq<=256 local-array cap
+# (multihead.cl:81-83) for TRAINING, not just inference.
+#
+#   p  = exp(q kᵀ · scale − lse)            (tile recompute)
+#   dv = Σ_q pᵀ dO                          (accumulated over q tiles)
+#   dp = dO vᵀ;  ds = p ⊙ (dp − D) · scale  (D = rowsum(dO ⊙ O), precomputed)
+#   dq = Σ_kv ds k;   dk = Σ_q dsᵀ q
+# ---------------------------------------------------------------------------
+
+
+def _flash_bwd_dq_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, dvec_ref, dq_ref, acc_ref, *,
+    scale: float, seq_len: int, block_k: int, num_kv_blocks: int,
+):
+    kv_idx = pl.program_id(2)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    q, k, v, do = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # [bq, bk]
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kv_idx * block_k
+    s = jnp.where(col < seq_len, s, MASK_VALUE)
+    p = jnp.exp(s - lse_ref[0][:, None])  # masked cols underflow to 0
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [bq, bk]
+    ds = (p * (dp - dvec_ref[0][:, None]) * scale).astype(k.dtype)
+    acc_ref[...] += jax.lax.dot(ds, k, preferred_element_type=jnp.float32)
+
+    @pl.when(kv_idx == num_kv_blocks - 1)
+    def _emit():
+        dq_ref[0] = acc_ref[...].astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, dvec_ref, dk_ref, dv_ref,
+    dk_acc, dv_acc, *,
+    scale: float, seq_len: int, block_k: int, num_q_blocks: int,
+):
+    kv_idx = pl.program_id(1)
+    q_idx = pl.program_id(2)
+
+    @pl.when(q_idx == 0)
+    def _init():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    q, k, v, do = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # [bq, bk]
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kv_idx * block_k
+    s = jnp.where(col < seq_len, s, MASK_VALUE)
+    p = jnp.exp(s - lse_ref[0][:, None])
+    # Padded q rows need no mask: their dO is zero, so both accumulants
+    # below receive exactly zero from them (dp=0 and dvec=0 ⇒ ds=0).
+    dv_acc[...] += jax.lax.dot_general(
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [bk, hd]
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = (p * (dp - dvec_ref[0][:, None]) * scale).astype(q.dtype)
+    dk_acc[...] += jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [bk, hd]
+
+    @pl.when(q_idx == num_q_blocks - 1)
+    def _emit():
+        dk_ref[0] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
+
+
+def blockwise_attention_bwd(
+    qf: jax.Array,
+    kf: jax.Array,
+    vf: jax.Array,
+    of: jax.Array,
+    lse: jax.Array,
+    dof: jax.Array,
+    *,
+    scale: float,
+    seq_len: int,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+    interpret: bool | None = None,
+):
+    """Blockwise flash backward on flat pre-padded [n, t_pad, hd] arrays.
+
+    Returns (dq, dk, dv), each [n, t_pad, hd] in the input dtype. ``lse`` is
+    the forward's [n, t_pad] log-sum-exp; padded dO rows must be zero.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n, t_pad, hd = qf.shape
+    num_q_blocks = t_pad // block_q
+    num_kv_blocks = t_pad // block_k
+    # D = rowsum(dO ⊙ O) — one fused elementwise+reduce pass in XLA.
+    dvec = jnp.sum(dof.astype(jnp.float32) * of.astype(jnp.float32), axis=-1)
+
+    qspec = lambda bi, qi, ki: (bi, qi, 0)  # noqa: E731
+    kspec = lambda bi, qi, ki: (bi, ki, 0)  # noqa: E731
+    dq = pl.pallas_call(
+        functools.partial(
+            _flash_bwd_dq_kernel, scale=scale, seq_len=seq_len,
+            block_k=block_k, num_kv_blocks=num_kv_blocks,
+        ),
+        grid=(n, num_q_blocks, num_kv_blocks),
+        in_specs=[
+            pl.BlockSpec((1, block_q, hd), qspec),
+            pl.BlockSpec((1, block_k, hd), kspec),
+            pl.BlockSpec((1, block_k, hd), kspec),
+            pl.BlockSpec((1, block_q, hd), qspec),
+            pl.BlockSpec((1, block_q), lambda bi, qi, ki: (bi, qi)),
+            pl.BlockSpec((1, block_q), lambda bi, qi, ki: (bi, qi)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, hd), qspec),
+        out_shape=jax.ShapeDtypeStruct((n, t_pad, hd), qf.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, hd), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qf, kf, vf, dof, lse, dvec)
+
+    # dK/dV: grid transposed — outer over KV tiles, inner (accumulating)
+    # over Q tiles.
+    qspec2 = lambda bi, ki, qi: (bi, qi, 0)  # noqa: E731
+    kspec2 = lambda bi, ki, qi: (bi, ki, 0)  # noqa: E731
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _flash_bwd_dkv_kernel, scale=scale, seq_len=seq_len,
+            block_k=block_k, num_q_blocks=num_q_blocks,
+        ),
+        grid=(n, num_kv_blocks, num_q_blocks),
+        in_specs=[
+            pl.BlockSpec((1, block_q, hd), qspec2),
+            pl.BlockSpec((1, block_k, hd), kspec2),
+            pl.BlockSpec((1, block_k, hd), kspec2),
+            pl.BlockSpec((1, block_q, hd), qspec2),
+            pl.BlockSpec((1, block_q), lambda bi, ki, qi: (bi, qi)),
+            pl.BlockSpec((1, block_q), lambda bi, ki, qi: (bi, qi)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_k, hd), kspec2),
+            pl.BlockSpec((1, block_k, hd), kspec2),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, t_pad, hd), kf.dtype),
+            jax.ShapeDtypeStruct((n, t_pad, hd), vf.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, hd), jnp.float32),
+            pltpu.VMEM((block_k, hd), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qf, kf, vf, dof, lse, dvec)
+    return dq, dk, dv
+
+
 def _packed_reference_math(qkv: jax.Array, num_heads: int, head_dim: int):
     """Packed [B, T, 3D] attention in differentiable jnp ops (slab packing)."""
     b, t, _ = qkv.shape
@@ -413,23 +630,94 @@ def _packed_reference_math(qkv: jax.Array, num_heads: int, head_dim: int):
     return o.transpose(0, 2, 1, 3).reshape(b, t, d)
 
 
+def _packed_split(qkv: jax.Array, num_heads: int, head_dim: int):
+    """Packed slab [B, T, 3D] → three flat [B*H, T, hd] arrays."""
+    b, t, _ = qkv.shape
+    d = num_heads * head_dim
+
+    def split(x):
+        x = x.reshape(b, t, num_heads, head_dim).transpose(0, 2, 1, 3)
+        return x.reshape(b * num_heads, t, head_dim)
+
+    return split(qkv[..., :d]), split(qkv[..., d:2 * d]), split(qkv[..., 2 * d:])
+
+
+def _packed_merge(xf: jax.Array, b: int, num_heads: int, head_dim: int):
+    """Flat [B*H, T, hd] → head-major [B, T, H*hd]."""
+    t = xf.shape[1]
+    x = xf.reshape(b, num_heads, t, head_dim).transpose(0, 2, 1, 3)
+    return x.reshape(b, t, num_heads * head_dim)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
 def packed_fused_attention_trainable(qkv, num_heads: int, head_dim: int):
-    """Differentiable wrapper: Pallas fused forward, rematerialized XLA
-    backward. Use in training loops; inference should call
-    ``packed_fused_attention`` directly. First-order reverse-mode only
-    (a standard custom_vjp restriction — use ``_packed_reference_math`` if
-    higher-order derivatives are ever needed)."""
-    return packed_fused_attention(qkv, num_heads=num_heads, head_dim=head_dim)
+    """Differentiable fused attention on packed [B, T, 3D] input.
+
+    Pallas in both directions, routed by sequence length:
+      * padded T <= SINGLE_PASS_MAX_T — packed single-pass forward +
+        whole-row rematerializing backward (``packed_attention_bwd``);
+      * longer — blockwise flash forward (saving log-sum-exp) + blockwise
+        backward (``blockwise_attention_bwd``): no [T, T] residency in
+        either direction, so training length is unbounded like inference.
+    First-order reverse-mode only (a standard custom_vjp restriction — use
+    ``_packed_reference_math`` if higher-order derivatives are ever needed).
+    """
+    out, _ = _trainable_fwd(qkv, num_heads, head_dim)
+    return out
+
+
+def _is_long_seq(t: int) -> bool:
+    return max(_cdiv(t, 128) * 128, 128) > SINGLE_PASS_MAX_T
 
 
 def _trainable_fwd(qkv, num_heads, head_dim):
-    out = packed_fused_attention(qkv, num_heads=num_heads, head_dim=head_dim)
-    return out, qkv
+    b, t, _ = qkv.shape
+    if not _is_long_seq(t):
+        out = packed_fused_attention(qkv, num_heads=num_heads,
+                                     head_dim=head_dim)
+        return out, (qkv, None, None)
+    interpret = jax.default_backend() != "tpu"
+    scale = float(1.0 / np.sqrt(head_dim))
+    t_pad = _cdiv(t, 128) * 128
+    qf, kf, vf = _packed_split(qkv, num_heads, head_dim)
+    if t_pad != t:
+        pad = ((0, 0), (0, t_pad - t), (0, 0))
+        qf, kf, vf = jnp.pad(qf, pad), jnp.pad(kf, pad), jnp.pad(vf, pad)
+    of, lse = _blockwise_fwd_flat(
+        qf, kf, vf, scale=scale, seq_len=t,
+        block_q=DEFAULT_BLOCK_Q, block_k=DEFAULT_BLOCK_K,
+        interpret=interpret, return_lse=True,
+    )
+    out = _packed_merge(of[:, :t], b, num_heads, head_dim)
+    return out, (qkv, of, lse)
 
 
-def _trainable_bwd(num_heads, head_dim, qkv, g):
-    return (packed_attention_bwd(qkv, g, num_heads, head_dim),)
+def _trainable_bwd(num_heads, head_dim, res, g):
+    qkv, of, lse = res
+    if of is None:
+        return (packed_attention_bwd(qkv, g, num_heads, head_dim),)
+    b, t, _ = qkv.shape
+    interpret = jax.default_backend() != "tpu"
+    scale = float(1.0 / np.sqrt(head_dim))
+    t_pad = of.shape[1]
+    qf, kf, vf = _packed_split(qkv, num_heads, head_dim)
+    # Split the cotangent the same way as q (it is head-major [B, T, D]).
+    gf = g.reshape(b, t, num_heads, head_dim).transpose(0, 2, 1, 3)
+    gf = gf.reshape(b * num_heads, t, head_dim)
+    if t_pad != t:
+        pad = ((0, 0), (0, t_pad - t), (0, 0))
+        qf, kf, vf = jnp.pad(qf, pad), jnp.pad(kf, pad), jnp.pad(vf, pad)
+        gf = jnp.pad(gf, pad)  # zero-padded dO rows contribute no gradient
+    dq, dk, dv = blockwise_attention_bwd(
+        qf, kf, vf, of, lse, gf, scale=scale, seq_len=t,
+        block_q=DEFAULT_BLOCK_Q, block_k=DEFAULT_BLOCK_K, interpret=interpret,
+    )
+    dqkv = jnp.concatenate(
+        [_packed_merge(d[:, :t], b, num_heads, head_dim)
+         for d in (dq, dk, dv)],
+        axis=-1,
+    )
+    return (dqkv.astype(qkv.dtype),)
 
 
 packed_fused_attention_trainable.defvjp(_trainable_fwd, _trainable_bwd)
@@ -503,6 +791,25 @@ def packed_fused_attention(
     if packing not in ("slab", "per_head"):
         raise ValueError(f"unknown packing {packing!r}")
     scale = float(1.0 / np.sqrt(hd))
+    if _is_long_seq(t):
+        # Whole-sequence-in-VMEM stops fitting: reroute through the blockwise
+        # online-softmax kernel (the head split/merge transposes are noise
+        # next to O(T^2) attention at these lengths).
+        if packing != "slab":
+            raise NotImplementedError(
+                "long-sequence packed attention supports slab packing only"
+            )
+        t_pad = _cdiv(t, 128) * 128
+        qf, kf, vf = _packed_split(qkv, nh, hd)
+        if t_pad != t:
+            pad = ((0, 0), (0, t_pad - t), (0, 0))
+            qf, kf, vf = jnp.pad(qf, pad), jnp.pad(kf, pad), jnp.pad(vf, pad)
+        of, _ = _blockwise_fwd_flat(
+            qf, kf, vf, scale=scale, seq_len=t,
+            block_q=DEFAULT_BLOCK_Q, block_k=DEFAULT_BLOCK_K,
+            interpret=interpret, return_lse=False,
+        )
+        return _packed_merge(of[:, :t], b, nh, hd)
     if images_per_cell is None:
         # v5e sweeps (perf/autotune.py): one image per grid cell is fastest
         # when a cell already holds enough per-head matmuls (ViT-B, 12 heads:

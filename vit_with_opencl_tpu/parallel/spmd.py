@@ -250,9 +250,20 @@ def sp_forward(
     *,
     compute_dtype: jnp.dtype = jnp.float32,
     return_logits: bool = False,
+    kv: str = "gather",
 ):
     """Sequence-parallel forward: token axis sharded over "model", batch over
-    "data". Params replicated (pair with TP in later rounds if needed)."""
+    "data". Params replicated (pair with TP in later rounds if needed).
+
+    ``kv`` selects how each token shard sees the full KV sequence:
+      * "gather" — all-gather K/V then local whole-row attention (cheap at
+        ViT lengths: the gather is tiny next to the matmuls);
+      * "ring" — K/V stay sharded and rotate around the ring
+        (ops/ring_attention), overlapping neighbor transfers with compute;
+        the long-context path where a device can't hold the full KV.
+    """
+    if kv not in ("gather", "ring"):
+        raise ValueError(f"unknown kv strategy {kv!r}")
     n_model = mesh.shape["model"]
     t = config.num_tokens
     t_pad = -(-t // n_model) * n_model
@@ -260,7 +271,7 @@ def sp_forward(
     pspecs = jax.tree.map(lambda _: P(), params)
 
     cache_key = ("sp", config, mesh, jnp.dtype(compute_dtype), return_logits,
-                 jax.tree.structure(params))
+                 kv, jax.tree.structure(params))
 
     def fn(imgs, p):
         x = vit.embed(imgs, p, config, compute_dtype)  # [B_loc, T, D]
@@ -279,7 +290,16 @@ def sp_forward(
             qkv = jnp.dot(hh, lp["qkv_w"], preferred_element_type=jnp.float32)
             qkv = (qkv + lp["qkv_b"]).astype(h.dtype)
             qkv = qkv.reshape(b, t_loc, 3, nh, hd).transpose(2, 0, 3, 1, 4)
-            ctx = _sp_attention(qkv[0], qkv[1], qkv[2], config, t)
+            if kv == "ring":
+                from ..ops.ring_attention import ring_attention_shard
+
+                ctx = ring_attention_shard(
+                    qkv[0], qkv[1], qkv[2], axis_name="model",
+                    scale=float(1.0 / np.sqrt(hd)), seq_len=t,
+                    shard_tokens=t_loc,
+                )
+            else:
+                ctx = _sp_attention(qkv[0], qkv[1], qkv[2], config, t)
             ctx = ctx.transpose(0, 2, 1, 3).reshape(b, t_loc, nh * hd)
             attn = jnp.dot(ctx, lp["out_w"], preferred_element_type=jnp.float32)
             h = h + (attn + lp["out_b"]).astype(h.dtype)
