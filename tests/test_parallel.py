@@ -279,3 +279,30 @@ def test_train_step_flash_long_seq_descends():
         params, loss = step(params, images, labels)
     assert np.isfinite(float(loss))
     assert float(loss) < float(loss0)
+
+
+def test_tp_forward_int8_quantized(setup):
+    """TP + int8 weight-only quantization: shard_params_tp must re-layout
+    the quantized {q, scale} dicts head-major together (VERDICT r1 item 2:
+    previously crashed with an opaque AttributeError in to_tp_layout)."""
+    from vit_with_opencl_tpu.models import quant
+
+    stacked, images, ref = setup
+    qp = quant.quantize_stacked_params(stacked, CFG)
+    mesh = spmd.make_mesh(data=2, model=4)
+    params = spmd.shard_params_tp(qp, mesh, CFG)
+    probs = spmd.tp_forward(
+        jnp.asarray(images), params, CFG, mesh, compute_dtype=jnp.float32
+    )
+    got = np.asarray(probs)
+    assert np.abs(got - ref).max() < 5e-3  # int8 error, same gate as PP test
+    assert (got.argmax(-1) == ref.argmax(-1)).all()
+
+    # And with the packed Pallas attention kernel (per-head packing).
+    mesh2 = spmd.make_mesh(data=2, model=2)
+    params2 = spmd.shard_params_tp(qp, mesh2, CFG)
+    probs2 = spmd.tp_forward(
+        jnp.asarray(images), params2, CFG, mesh2, compute_dtype=jnp.float32,
+        attention_impl="flash",
+    )
+    assert np.abs(np.asarray(probs2) - ref).max() < 5e-3

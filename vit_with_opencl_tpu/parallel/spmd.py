@@ -79,10 +79,27 @@ def make_mesh(
 
 
 def to_tp_layout(params: Params, config: ViTConfig) -> Params:
+    from ..models import quant
+
     nh, hd, L, d = config.num_heads, config.head_dim, config.depth, config.embed_dim
+
+    def reorder_out_axis(x, rows):
+        # [..., rows, 3D] with (q|k|v)-major out axis → head-major nh*3*hd.
+        x = x.reshape(L, rows, 3, nh, hd).transpose(0, 1, 3, 2, 4)
+        return x.reshape(L, rows, nh * 3 * hd)
+
     lp = dict(params["layers"])
-    qkv_w = lp["qkv_w"].reshape(L, d, 3, nh, hd).transpose(0, 1, 3, 2, 4)
-    lp["qkv_w"] = qkv_w.reshape(L, d, nh * 3 * hd)
+    qkv_w = lp["qkv_w"]
+    if quant.is_quantized(qkv_w):
+        # int8 weight-only dicts: the per-output-channel scale lives on the
+        # same axis as q's out dim — reorder the two together so a model-axis
+        # shard carries matching (q, scale) columns.
+        lp["qkv_w"] = {
+            "q": reorder_out_axis(qkv_w["q"], d),
+            "scale": reorder_out_axis(qkv_w["scale"], 1),
+        }
+    else:
+        lp["qkv_w"] = reorder_out_axis(qkv_w, d)
     qkv_b = lp["qkv_b"].reshape(L, 3, nh, hd).transpose(0, 2, 1, 3)
     lp["qkv_b"] = qkv_b.reshape(L, nh * 3 * hd)
     out = dict(params)
@@ -90,17 +107,36 @@ def to_tp_layout(params: Params, config: ViTConfig) -> Params:
     return out
 
 
+def _weight_spec(leaf: Any, spec: P) -> Any:
+    """Spec for a (possibly int8-quantized) matmul weight leaf.
+
+    Column-parallel weights shard their out axis: the per-output-channel
+    scale shards with it. Row-parallel weights shard the in axis: the scale
+    (out-channel-indexed, and commuting with the psum) stays replicated.
+    """
+    from ..models import quant
+
+    if not quant.is_quantized(leaf):
+        return spec
+    out_axis_sharded = len(spec) >= 3 and spec[2] is not None
+    return {
+        "q": spec,
+        "scale": P(None, None, "model") if out_axis_sharded else P(),
+    }
+
+
 def tp_pspecs(params: Params, config: ViTConfig) -> Params:
     """PartitionSpec tree matching the TP layout: column-parallel QKV/fc1,
     row-parallel out/fc2, everything else replicated."""
     specs = jax.tree.map(lambda _: P(), params)
     specs["layers"] = dict(specs["layers"])
-    specs["layers"]["qkv_w"] = P(None, None, "model")
+    lp = params["layers"]
+    specs["layers"]["qkv_w"] = _weight_spec(lp["qkv_w"], P(None, None, "model"))
     specs["layers"]["qkv_b"] = P(None, "model")
-    specs["layers"]["out_w"] = P(None, "model", None)
-    specs["layers"]["fc1_w"] = P(None, None, "model")
+    specs["layers"]["out_w"] = _weight_spec(lp["out_w"], P(None, "model", None))
+    specs["layers"]["fc1_w"] = _weight_spec(lp["fc1_w"], P(None, None, "model"))
     specs["layers"]["fc1_b"] = P(None, "model")
-    specs["layers"]["fc2_w"] = P(None, "model", None)
+    specs["layers"]["fc2_w"] = _weight_spec(lp["fc2_w"], P(None, "model", None))
     return specs
 
 
@@ -127,6 +163,22 @@ def shard_params_tp(params: Params, mesh: Mesh, config: ViTConfig) -> Params:
 # ---------------------------------------------------------------------------
 
 
+def _dot_q(x: jax.Array, w: Any) -> jax.Array:
+    """x @ w in fp32, transparently handling int8 {q, scale} weights.
+
+    Unlike ``quant.matmul_q`` this keeps the fp32 accumulator (no downcast,
+    no bias) so row-parallel callers can psum at full precision — the scale
+    is per output channel and commutes with the psum.
+    """
+    from ..models import quant
+
+    if quant.is_quantized(w):
+        out = jnp.dot(x, w["q"].astype(x.dtype),
+                      preferred_element_type=jnp.float32)
+        return out * w["scale"][..., 0, :]
+    return jnp.dot(x, w, preferred_element_type=jnp.float32)
+
+
 def _tp_block(h, lp, config: ViTConfig, n_model: int, kernels):
     """One encoder layer on a model-axis shard: local heads + local hidden
     slice, two psums (after out-proj and after fc2)."""
@@ -137,7 +189,7 @@ def _tp_block(h, lp, config: ViTConfig, n_model: int, kernels):
     # Attention: column-parallel QKV (local heads), head-parallel core,
     # row-parallel out-proj + psum.
     x = kernels["layer_norm"](h, lp["ln1_w"], lp["ln1_b"], config.eps)
-    qkv = jnp.dot(x, lp["qkv_w"], preferred_element_type=jnp.float32)
+    qkv = _dot_q(x, lp["qkv_w"])
     qkv = (qkv + lp["qkv_b"]).astype(h.dtype)  # [B, T, nh_loc*3*hd] head-major
     if "attention_packed" in kernels:
         from ..ops.attention import packed_fused_attention
@@ -149,15 +201,15 @@ def _tp_block(h, lp, config: ViTConfig, n_model: int, kernels):
         qkv = qkv.reshape(b, t, nh_loc, 3, hd).transpose(3, 0, 2, 1, 4)
         ctx = kernels["attention"](qkv[0], qkv[1], qkv[2], config)
         ctx = ctx.transpose(0, 2, 1, 3).reshape(b, t, nh_loc * hd)
-    partial = jnp.dot(ctx, lp["out_w"], preferred_element_type=jnp.float32)
+    partial = _dot_q(ctx, lp["out_w"])
     attn_out = jax.lax.psum(partial, "model") + lp["out_b"]
     h = h + attn_out.astype(h.dtype)
 
     # MLP: column-parallel fc1 (local hidden slice), row-parallel fc2 + psum.
     x = kernels["layer_norm"](h, lp["ln2_w"], lp["ln2_b"], config.eps)
-    hid = jnp.dot(x, lp["fc1_w"], preferred_element_type=jnp.float32)
+    hid = _dot_q(x, lp["fc1_w"])
     hid = vit.gelu_erf((hid + lp["fc1_b"]).astype(h.dtype))
-    partial = jnp.dot(hid, lp["fc2_w"], preferred_element_type=jnp.float32)
+    partial = _dot_q(hid, lp["fc2_w"])
     mlp_out = jax.lax.psum(partial, "model") + lp["fc2_b"]
     return h + mlp_out.astype(h.dtype), None
 
@@ -432,10 +484,11 @@ def gspmd_param_specs(params: Params, config: ViTConfig) -> Params:
     the big per-layer matrices over "model", replicate the rest."""
     specs = jax.tree.map(lambda _: P(), params)
     specs["layers"] = dict(specs["layers"])
-    specs["layers"]["qkv_w"] = P(None, None, "model")
-    specs["layers"]["out_w"] = P(None, "model", None)
-    specs["layers"]["fc1_w"] = P(None, None, "model")
-    specs["layers"]["fc2_w"] = P(None, "model", None)
+    lp = params["layers"]
+    specs["layers"]["qkv_w"] = _weight_spec(lp["qkv_w"], P(None, None, "model"))
+    specs["layers"]["out_w"] = _weight_spec(lp["out_w"], P(None, "model", None))
+    specs["layers"]["fc1_w"] = _weight_spec(lp["fc1_w"], P(None, None, "model"))
+    specs["layers"]["fc2_w"] = _weight_spec(lp["fc2_w"], P(None, "model", None))
     return specs
 
 
