@@ -80,6 +80,7 @@ class InferenceEngine:
         check_numerics: bool = False,
         quantize: Optional[str] = None,
         normalize_uint8: bool = False,
+        tuning_path: Optional[str] = None,
     ):
         self.config = config
         self.batch_size = int(batch_size)
@@ -96,7 +97,16 @@ class InferenceEngine:
         elif quantize is not None:
             raise ValueError(f"unknown quantize mode {quantize!r}")
         self.params = jax.device_put(params, self.device)
-        kernels = vit.resolve_kernels(attention_impl)
+        # Device-measured launch knobs (perf/autotune cache, keyed on
+        # config/batch/dtype) override the kernels' shipped heuristics —
+        # the tuned-literals role of the reference's hand-picked dispatch
+        # sizes (ViT_opencl.c:510,591,648), measured instead of guessed.
+        from .perf import autotune
+
+        self.tuning = autotune.lookup(
+            config, self.batch_size, compute_dtype, path=tuning_path
+        )
+        kernels = vit.resolve_kernels(attention_impl, tuning=self.tuning)
 
         self.normalize_uint8 = normalize_uint8
         if normalize_uint8:

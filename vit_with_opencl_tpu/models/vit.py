@@ -335,7 +335,8 @@ def _default_kernels() -> Dict[str, Any]:
     }
 
 
-def resolve_kernels(attention_impl: str = "xla") -> Dict[str, Any]:
+def resolve_kernels(attention_impl: str = "xla",
+                    tuning: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
     """Kernel table for the forward pass.
 
     ``attention_impl``:
@@ -343,25 +344,29 @@ def resolve_kernels(attention_impl: str = "xla") -> Dict[str, Any]:
       * 'flash' — Pallas fused attention: packed-layout kernel in the jit
         engine path plus the generic [B, H, T, hd] flash kernel for callers
         that already hold split heads (e.g. the tensor-parallel path).
+
+    ``tuning``: optional knobs from the autotune cache (perf/autotune.lookup):
+    ``attention_ipc`` / ``fused_block_ipc`` override the kernels' shipped
+    images-per-cell heuristics with device-measured winners.
     """
+    import functools as _ft
+
+    tuning = tuning or {}
     kernels = _default_kernels()
-    if attention_impl == "flash":
+    if attention_impl in ("flash", "fused_block"):
         from ..ops.attention import flash_attention, packed_fused_attention
 
         kernels["attention"] = flash_attention
-        kernels["attention_packed"] = packed_fused_attention
+        attn_ipc = tuning.get("attention_ipc")
+        kernels["attention_packed"] = (
+            _ft.partial(packed_fused_attention, images_per_cell=int(attn_ipc))
+            if attn_ipc else packed_fused_attention
+        )
         # Small models also get the whole-layer fused kernel (gated by
         # fused_block.supports; a no-op for ViT-B-sized configs).
         kernels["_fused_block_if_supported"] = True
-    elif attention_impl == "fused_block":
-        # Flash kernels plus the whole-layer fused block for small models
-        # (falls back to the flash per-op path when the layer doesn't fit).
-        from ..ops import fused_block
-        from ..ops.attention import flash_attention, packed_fused_attention
-
-        kernels["attention"] = flash_attention
-        kernels["attention_packed"] = packed_fused_attention
-        kernels["_fused_block_if_supported"] = True
+        if tuning.get("fused_block_ipc"):
+            kernels["fused_block_ipc"] = int(tuning["fused_block_ipc"])
     elif attention_impl != "xla":
         raise ValueError(f"unknown attention_impl {attention_impl!r}")
     return kernels
@@ -421,8 +426,13 @@ def encoder(x: jax.Array, params: Params, config: ViTConfig,
 
         wdtype = np.dtype(params["layers"]["qkv_w"].dtype)
         if fused_block.supports(config, dtype_bytes=wdtype.itemsize):
+            import functools as _ft
+
             kernels = dict(kernels)
-            kernels["encoder_block"] = fused_block.fused_encoder_layer
+            kernels["encoder_block"] = _ft.partial(
+                fused_block.fused_encoder_layer,
+                images_per_cell=kernels.get("fused_block_ipc"),
+            )
             use_block = True
     if use_block:
         # Whole-layer fused kernel (small models): one launch per layer,

@@ -103,6 +103,126 @@ def tune_attention_ipc(
     return sweep(valid, build, (qkv,), iters=iters, timer=timer)
 
 
+def tune_fused_block_ipc(
+    config: ViTConfig,
+    batch: int,
+    *,
+    dtype=jnp.bfloat16,
+    candidates: Sequence[int] = (1, 2, 4, 8),
+    iters: int = 20,
+    timer: Optional[Callable] = None,
+) -> Tuple[int, Dict[int, float]]:
+    """Sweep images-per-cell for the whole-layer fused block on this device."""
+    from ..models import vit
+    from ..ops import fused_block
+
+    params = vit.cheap_stacked_params(config, dtype)
+    lp = jax.tree.map(lambda a: a[0], params["layers"])
+    i = jax.lax.broadcasted_iota(
+        jnp.int32, (batch * config.num_tokens * config.embed_dim, 1), 0
+    )[:, 0]
+    x = (((i * 48271) % 1021).astype(jnp.float32) / 1021.0 - 0.5).reshape(
+        batch, config.num_tokens, config.embed_dim
+    ).astype(dtype)
+
+    def build(ipc):
+        return jax.jit(functools.partial(
+            fused_block.fused_encoder_layer, config=config,
+            images_per_cell=ipc,
+        ))
+
+    valid = [c for c in candidates if batch % c == 0]
+    return sweep(valid, build, (x, lp), iters=iters, timer=timer)
+
+
+# ---------------------------------------------------------------------------
+# Production tuning cache: the engine/daemon consult this per
+# (config, batch, dtype) key and fall back to the shipped heuristics —
+# replacing the reference's hand-tuned dispatch literals
+# (ViT_opencl.c:510,591,648) with measured, persisted values.
+# ---------------------------------------------------------------------------
+
+
+def default_tuning_path() -> str:
+    return os.environ.get(
+        "VIT_TPU_TUNING",
+        os.path.join(os.path.expanduser("~"), ".cache", "vit_tpu_tuning.json"),
+    )
+
+
+def tuning_key(config: ViTConfig, batch: int, dtype) -> str:
+    return f"{config.name}|b{int(batch)}|{jnp.dtype(dtype).name}"
+
+
+def lookup(config: ViTConfig, batch: int, dtype,
+           path: str | os.PathLike | None = None) -> Dict:
+    """Saved tuning for this (config, batch, dtype), or {} if none/unreadable."""
+    try:
+        return load_tuning(path or default_tuning_path(),
+                           tuning_key(config, batch, dtype)) or {}
+    except (OSError, ValueError):
+        return {}
+
+
+def tune_and_save(
+    config: ViTConfig,
+    batch: int,
+    *,
+    dtype=jnp.bfloat16,
+    path: str | os.PathLike | None = None,
+    iters: int = 20,
+    timer: Optional[Callable] = None,
+) -> Dict:
+    """Sweep every production knob for this (config, batch, dtype) on the
+    current device and persist the winners."""
+    from ..ops import fused_block
+
+    path = path or default_tuning_path()
+    attn_ipc, attn_table = tune_attention_ipc(
+        config, batch, dtype=dtype, iters=iters, timer=timer
+    )
+    result: Dict = {
+        "attention_ipc": int(attn_ipc),
+        "attention_table_ms": {str(k): v for k, v in attn_table.items()},
+        "device": str(jax.devices()[0]),
+        "timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
+    }
+    if fused_block.supports(config, dtype_bytes=jnp.dtype(dtype).itemsize):
+        fb_ipc, fb_table = tune_fused_block_ipc(
+            config, batch, dtype=dtype, iters=iters, timer=timer
+        )
+        result["fused_block_ipc"] = int(fb_ipc)
+        result["fused_block_table_ms"] = {str(k): v for k, v in fb_table.items()}
+    os.makedirs(os.path.dirname(str(path)) or ".", exist_ok=True)
+    save_tuning(path, tuning_key(config, batch, dtype), result)
+    return result
+
+
+def main(argv=None) -> int:
+    """CLI: sweep launch configs on this device and save the tuning cache
+    that InferenceEngine / the serving daemon consult at startup."""
+    import argparse
+
+    from ..config import PRESETS, get_config
+
+    parser = argparse.ArgumentParser(description=main.__doc__)
+    parser.add_argument("--config", default="vit_b_16_224",
+                        choices=sorted(PRESETS))
+    parser.add_argument("--batch", type=int, default=256)
+    parser.add_argument("--dtype", default="bfloat16",
+                        choices=["bfloat16", "float32"])
+    parser.add_argument("--out", default=None,
+                        help=f"tuning file (default {default_tuning_path()})")
+    parser.add_argument("--iters", type=int, default=20)
+    args = parser.parse_args(argv)
+    cfg = get_config(args.config)
+    result = tune_and_save(cfg, args.batch, dtype=jnp.dtype(args.dtype),
+                           path=args.out, iters=args.iters)
+    print(json.dumps({tuning_key(cfg, args.batch, jnp.dtype(args.dtype)):
+                      result}, indent=2))
+    return 0
+
+
 def save_tuning(path: str | os.PathLike, key: str, result: Dict) -> None:
     data = {}
     if os.path.exists(path):
