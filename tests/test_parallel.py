@@ -306,3 +306,40 @@ def test_tp_forward_int8_quantized(setup):
         attention_impl="flash",
     )
     assert np.abs(np.asarray(probs2) - ref).max() < 5e-3
+
+
+def test_pipeline_interleaved_matches_golden():
+    """Interleaved virtual-stage PP (v=2): same numbers as golden, fewer
+    bubble cycles — VERDICT r1 item 8 (stages previously burned full-stage
+    compute on garbage during fill/drain)."""
+    from vit_with_opencl_tpu.parallel import pipeline
+
+    cfg = ViTConfig(name="pp_inter", img_size=32, patch_size=8, embed_dim=64,
+                    depth=4, num_heads=4, num_classes=13)
+    named = fixtures.random_params(cfg, seed=7, scale=0.05)
+    images = fixtures.random_images(cfg, n=4, seed=8)
+    ref = golden.golden_forward(images, named, cfg)
+    stacked = vit.stack_params(named, cfg, param_dtype=jnp.float32)
+
+    mesh = pipeline.make_pipe_mesh(2)
+    params = pipeline.shard_params_pp(stacked, mesh, cfg, interleave=2)
+    probs = pipeline.pp_forward(
+        jnp.asarray(images), params, cfg, mesh, n_microbatches=2,
+        compute_dtype=jnp.float32, interleave=2,
+    )
+    np.testing.assert_allclose(np.asarray(probs), ref, atol=1e-5)
+
+    # Bubble accounting: v=2 must strictly beat GPipe.
+    gpipe = pipeline.bubble_fraction(2, 2, interleave=1)
+    inter = pipeline.bubble_fraction(2, 2, interleave=2)
+    assert inter < gpipe
+    assert np.isclose(gpipe, 1 - 2 / 3)
+    assert np.isclose(inter, 1 - 4 / 5)  # 1 - vM/(M+vS-1)
+
+    # Schedule preconditions fail loudly.
+    with pytest.raises(ValueError, match="microbatches <= n_stages"):
+        pipeline.pp_forward(jnp.asarray(images), params, cfg, mesh,
+                            n_microbatches=4, compute_dtype=jnp.float32,
+                            interleave=2)
+    with pytest.raises(ValueError, match="not divisible"):
+        pipeline.shard_params_pp(stacked, mesh, cfg, interleave=3)

@@ -37,13 +37,52 @@ def make_pipe_mesh(n_stages: int, *, devices=None) -> Mesh:
     return Mesh(devs[:n_stages].reshape(n_stages), axis_names=("pipe",))
 
 
-def shard_params_pp(params: Params, mesh: Mesh, config: ViTConfig) -> Params:
+def bubble_fraction(n_microbatches: int, n_stages: int,
+                    interleave: int = 1) -> float:
+    """Fraction of stage-compute capacity wasted in pipeline fill/drain.
+
+    GPipe (interleave=1): 1 − M/(M+S−1). Interleaved virtual stages divide
+    each stage's layers into ``v`` chunks a microbatch visits in ``v`` ring
+    laps, shrinking every bubble step to 1/v of a stage's work:
+    1 − vM/(M+vS−1).
+    """
+    m, s, v = n_microbatches, n_stages, interleave
+    return 1.0 - (v * m) / (m + v * s - 1)
+
+
+def _interleave_perm(depth: int, n_stages: int, interleave: int):
+    """Layer-axis permutation so a contiguous P("pipe") shard of stage ``s``
+    holds virtual-stage chunks (s, S+s, 2S+s, ...) back to back."""
+    w = depth // (n_stages * interleave)
+    return [
+        k * w + i
+        for s in range(n_stages)
+        for j in range(interleave)
+        for k in (j * n_stages + s,)
+        for i in range(w)
+    ]
+
+
+def shard_params_pp(params: Params, mesh: Mesh, config: ViTConfig,
+                    *, interleave: int = 1) -> Params:
     """Layers sharded on the layer axis over "pipe"; everything else
-    replicated. Requires depth % n_stages == 0."""
+    replicated. Requires depth % (n_stages * interleave) == 0.
+
+    ``interleave`` > 1 lays layers out for the interleaved schedule
+    (``pp_forward(..., interleave=v)``): stage ``s`` holds layer chunks
+    s, S+s, ... instead of one contiguous block.
+    """
     n_stages = mesh.shape["pipe"]
-    if config.depth % n_stages:
+    if config.depth % (n_stages * interleave):
         raise ValueError(
-            f"depth {config.depth} not divisible by {n_stages} pipeline stages"
+            f"depth {config.depth} not divisible by {n_stages} pipeline "
+            f"stages x {interleave} virtual chunks"
+        )
+    if interleave > 1:
+        perm = np.asarray(_interleave_perm(config.depth, n_stages, interleave))
+        params = dict(params)
+        params["layers"] = jax.tree.map(
+            lambda a: np.take(np.asarray(a), perm, axis=0), params["layers"]
         )
     specs = jax.tree.map(lambda _: P(), params)
     specs["layers"] = jax.tree.map(lambda _: P("pipe"), params["layers"])
@@ -62,11 +101,21 @@ def pp_forward(
     compute_dtype: jnp.dtype = jnp.float32,
     attention_impl: str = "xla",
     return_logits: bool = False,
+    interleave: int = 1,
 ):
     """Pipelined forward over the "pipe" axis → probabilities [B, classes].
 
     Batch must divide into ``n_microbatches``. Embed and head run replicated
     (they are tiny next to the encoder); only the encoder stack is staged.
+
+    ``interleave`` (v): virtual-stage chunks per device. v=1 is plain GPipe
+    (M+S−1 steps of full-stage work). v>1 splits each stage's layers into v
+    chunks that a microbatch visits over v ring laps: M+vS−1 steps of
+    (1/v)-stage work, cutting the fill/drain bubble by ~v
+    (``bubble_fraction``). Requires params laid out by
+    ``shard_params_pp(..., interleave=v)`` and M <= S (the lap-j stream a
+    stage receives back from the ring must not collide with its lap-(j-1)
+    work — guaranteed when the injection window fits one lap).
     """
     n_stages = mesh.shape["pipe"]
     kernels = vit.resolve_kernels(attention_impl)
@@ -74,7 +123,17 @@ def pp_forward(
     if b % n_microbatches:
         raise ValueError(f"batch {b} not divisible by {n_microbatches} microbatches")
     mb = b // n_microbatches
-    M, S = n_microbatches, n_stages
+    M, S, V = n_microbatches, n_stages, interleave
+    if V > 1:
+        if config.depth % (S * V):
+            raise ValueError(
+                f"depth {config.depth} not divisible by {S} stages x {V} chunks"
+            )
+        if M > S:
+            raise ValueError(
+                f"interleaved schedule needs n_microbatches <= n_stages "
+                f"({M} > {S}); split the batch into waves instead"
+            )
 
     pspecs = jax.tree.map(lambda _: P(), params)
     pspecs["layers"] = jax.tree.map(lambda _: P("pipe"), params["layers"])
@@ -87,40 +146,84 @@ def pp_forward(
         t, d = x.shape[1], x.shape[2]
         mbs = x.reshape(M, mb, t, d)
 
-        def run_local_layers(h):
-            def block(hh, lp):
-                hh = hh + vit._attention_block(hh, lp, config, kernels)
-                hh = hh + vit._mlp_block(hh, lp, config, kernels)
-                return hh, None
+        def block(hh, lp):
+            hh = hh + vit._attention_block(hh, lp, config, kernels)
+            hh = hh + vit._mlp_block(hh, lp, config, kernels)
+            return hh, None
 
+        def run_local_layers(h):
             out, _ = jax.lax.scan(block, h, p["layers"])
+            return out
+
+        chunk_layers = config.depth // (S * V)
+
+        def run_chunk(h, j):
+            # One virtual-stage chunk: layers [j*W, (j+1)*W) of this stage's
+            # interleave-permuted local shard.
+            chunk = jax.tree.map(
+                lambda a: jax.lax.dynamic_slice_in_dim(
+                    a, j * chunk_layers, chunk_layers, axis=0
+                ),
+                p["layers"],
+            )
+            out, _ = jax.lax.scan(block, h, chunk)
             return out
 
         carry = jnp.zeros((mb, t, d), compute_dtype)  # inbound activation
         outputs = jnp.zeros((M, mb, t, d), compute_dtype)
         perm = [(i, (i + 1) % S) for i in range(S)]
 
-        def step_fn(step, state):
-            carry, outputs = state
-            # Stage 0 ingests microbatch `step` (clamped); later stages take
-            # the rotated activation from the previous stage.
-            feed_idx = jnp.clip(step, 0, M - 1)
-            inp = jnp.where(stage == 0, mbs[feed_idx], carry)
-            y = run_local_layers(inp)
-            # Stage s is active for microbatch (step - s) in [0, M).
-            mb_idx = step - stage
-            active = (mb_idx >= 0) & (mb_idx < M)
-            # Final stage records finished microbatches.
-            record = active & (stage == S - 1)
-            out_idx = jnp.clip(mb_idx, 0, M - 1)
-            updated = jax.lax.dynamic_update_index_in_dim(
-                outputs, y.astype(compute_dtype), out_idx, axis=0
-            )
-            outputs = jnp.where(record, updated, outputs)
-            carry = jax.lax.ppermute(y, "pipe", perm)
-            return carry, outputs
+        if V == 1:
 
-        _, outputs = jax.lax.fori_loop(0, M + S - 1, step_fn, (carry, outputs))
+            def step_fn(step, state):
+                carry, outputs = state
+                # Stage 0 ingests microbatch `step` (clamped); later stages
+                # take the rotated activation from the previous stage.
+                feed_idx = jnp.clip(step, 0, M - 1)
+                inp = jnp.where(stage == 0, mbs[feed_idx], carry)
+                y = run_local_layers(inp)
+                # Stage s is active for microbatch (step - s) in [0, M).
+                mb_idx = step - stage
+                active = (mb_idx >= 0) & (mb_idx < M)
+                # Final stage records finished microbatches.
+                record = active & (stage == S - 1)
+                out_idx = jnp.clip(mb_idx, 0, M - 1)
+                updated = jax.lax.dynamic_update_index_in_dim(
+                    outputs, y.astype(compute_dtype), out_idx, axis=0
+                )
+                outputs = jnp.where(record, updated, outputs)
+                carry = jax.lax.ppermute(y, "pipe", perm)
+                return carry, outputs
+
+            n_steps = M + S - 1
+        else:
+            # Interleaved schedule: virtual stage k = j*S + s processes
+            # microbatch m at step m + k; each step a stage runs ONE chunk of
+            # 1/V of its layers, so fill/drain steps cost 1/V of a stage.
+            # With M <= S the stage's lap-j work never collides with lap-j+1
+            # arrivals, so rel = step - stage decomposes uniquely as
+            # j = rel // S (lap), m = rel % S (microbatch, valid when < M).
+            def step_fn(step, state):
+                carry, outputs = state
+                rel = step - stage
+                lap = jnp.clip(rel // S, 0, V - 1)
+                m_idx = jnp.clip(rel, 0, S * V - 1) % S
+                active = (rel >= 0) & (rel < S * V) & (m_idx < M)
+                feed = (stage == 0) & (rel < S)  # lap-0 injection window
+                inp = jnp.where(feed, mbs[jnp.clip(m_idx, 0, M - 1)], carry)
+                y = run_chunk(inp, lap)
+                record = active & (stage == S - 1) & (lap == V - 1)
+                out_idx = jnp.clip(m_idx, 0, M - 1)
+                updated = jax.lax.dynamic_update_index_in_dim(
+                    outputs, y.astype(compute_dtype), out_idx, axis=0
+                )
+                outputs = jnp.where(record, updated, outputs)
+                carry = jax.lax.ppermute(y, "pipe", perm)
+                return carry, outputs
+
+            n_steps = M + V * S - 1
+
+        _, outputs = jax.lax.fori_loop(0, n_steps, step_fn, (carry, outputs))
         # Broadcast the last stage's outputs to every device.
         outputs = jax.lax.psum(
             jnp.where(stage == S - 1, outputs, jnp.zeros_like(outputs)), "pipe"
@@ -146,7 +249,7 @@ def pp_forward(
 
     from .spmd import _cached_program
 
-    cache_key = ("pp", config, mesh, n_microbatches, b,
+    cache_key = ("pp", config, mesh, n_microbatches, b, interleave,
                  jnp.dtype(compute_dtype), attention_impl, return_logits,
                  jax.tree.structure(params))
     return _cached_program(cache_key, build)(images, params)
