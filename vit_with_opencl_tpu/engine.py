@@ -193,3 +193,104 @@ class InferenceEngine:
 
     def __call__(self, images: np.ndarray) -> np.ndarray:
         return self.run(images)
+
+
+class DataParallelEngine:
+    """Batched inference data-parallel over a device mesh.
+
+    Same ``run``/``warmup``/``batch_size`` surface as ``InferenceEngine`` so
+    the serving batcher can fan a coalesced batch out across every chip
+    (``parallel.spmd.dp_forward_fn``: batch sharded over the mesh, params
+    replicated, zero per-step communication). ``batch_size`` is GLOBAL and
+    must divide by the device count.
+    """
+
+    def __init__(
+        self,
+        config: ViTConfig,
+        named_params: Dict[str, np.ndarray],
+        *,
+        batch_size: int = 32,
+        devices: Optional[Any] = None,
+        param_dtype: jnp.dtype = jnp.bfloat16,
+        compute_dtype: jnp.dtype = jnp.bfloat16,
+        attention_impl: str = "flash",
+        quantize: Optional[str] = None,
+        tuning_path: Optional[str] = None,
+    ):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from .parallel import spmd
+
+        devices = list(devices if devices is not None else jax.devices())
+        self.n_devices = len(devices)
+        self.config = config
+        self.batch_size = int(batch_size)
+        if self.batch_size % self.n_devices:
+            raise ValueError(
+                f"global batch {batch_size} not divisible by "
+                f"{self.n_devices} devices"
+            )
+        t0 = time.perf_counter()
+        self.mesh = spmd.make_mesh(data=self.n_devices, model=1,
+                                   devices=devices)
+        params = vit.stack_params(named_params, config, param_dtype=param_dtype)
+        if quantize == "int8":
+            from .models import quant
+
+            params = quant.quantize_stacked_params(params, config)
+        elif quantize is not None:
+            raise ValueError(f"unknown quantize mode {quantize!r}")
+        replicated = NamedSharding(self.mesh, P())
+        self.params = jax.device_put(params, replicated)
+        from .perf import autotune
+
+        tuning = autotune.lookup(config, self.batch_size // self.n_devices,
+                                 compute_dtype, path=tuning_path)
+        kernels = vit.resolve_kernels(attention_impl, tuning=tuning)
+        self._data_sharding = NamedSharding(self.mesh, P(("data", "model")))
+
+        @jax.jit
+        def _forward(images, params):
+            images = jax.lax.with_sharding_constraint(
+                images, self._data_sharding
+            )
+            return vit.forward(images, params, config,
+                               compute_dtype=compute_dtype, kernels=kernels)
+
+        self._forward = _forward
+        self.setup_time = time.perf_counter() - t0
+
+    def warmup(self) -> float:
+        t0 = time.perf_counter()
+        dummy = jnp.zeros(
+            (self.batch_size, self.config.in_chans, self.config.img_size,
+             self.config.img_size), jnp.float32,
+        )
+        out = self._forward(jax.device_put(dummy, self._data_sharding),
+                            self.params)
+        np.asarray(out.ravel()[:1])
+        return time.perf_counter() - t0
+
+    def run(self, images: np.ndarray) -> np.ndarray:
+        images = np.asarray(images, np.float32)
+        if images.ndim == 3:
+            images = images[None]
+        n = images.shape[0]
+        if n == 0:
+            return np.zeros((0, self.config.num_classes), np.float32)
+        bs = self.batch_size
+        outputs = []
+        for start in range(0, n, bs):
+            chunk = images[start:start + bs]
+            if chunk.shape[0] < bs:
+                pad = np.zeros((bs - chunk.shape[0],) + chunk.shape[1:],
+                               np.float32)
+                chunk = np.concatenate([chunk, pad], axis=0)
+            dev = jax.device_put(jnp.asarray(chunk), self._data_sharding)
+            outputs.append(self._forward(dev, self.params))
+        probs = np.concatenate([np.asarray(o) for o in outputs], axis=0)
+        return probs[:n]
+
+    def __call__(self, images: np.ndarray) -> np.ndarray:
+        return self.run(images)

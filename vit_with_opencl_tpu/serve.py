@@ -84,8 +84,23 @@ class Batcher:
         self._stop = threading.Event()
         self.batches_run = 0
         self.images_served = 0
+        self.batch_errors = 0
+        self.started_at = time.time()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
+
+    def stats(self) -> dict:
+        """Observability counters (served over the wire as a STATS request)."""
+        return {
+            "batches_run": self.batches_run,
+            "images_served": self.images_served,
+            "batch_errors": self.batch_errors,
+            "queue_depth": self.q.qsize(),
+            "batch_size": self.engine.batch_size,
+            "n_devices": getattr(self.engine, "n_devices", 1),
+            "config": self.engine.config.name,
+            "uptime_s": round(time.time() - self.started_at, 1),
+        }
 
     def submit_async(self, image: np.ndarray) -> _Request:
         """Enqueue one image; caller waits on the returned request's event.
@@ -142,6 +157,7 @@ class Batcher:
             except Exception as e:
                 # Fail this batch's requests; keep serving. One bad batch
                 # must not brick the daemon or hang its clients.
+                self.batch_errors += 1
                 for req in batch:
                     req.error = e
                     req.event.set()
@@ -179,6 +195,12 @@ class InferenceServer:
                         payload = _recv_msg(self.request)
                     except (ConnectionError, ValueError):
                         return
+                    if payload == b"STATS":
+                        import json as _json
+
+                        _send_msg(self.request,
+                                  _json.dumps(batcher.stats()).encode())
+                        continue
                     try:
                         images = binfmt.load_image_data_bytes(payload)
                         want_u8 = getattr(srv_engine, "normalize_uint8", False)
@@ -262,6 +284,15 @@ def classify(
     return out
 
 
+def stats(host: str = "127.0.0.1", port: int = 9876) -> dict:
+    """Client helper: fetch the daemon's observability counters."""
+    import json as _json
+
+    with socket.create_connection((host, port)) as sock:
+        _send_msg(sock, b"STATS")
+        return _json.loads(_recv_msg(sock).decode())
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--weights", required=True)
@@ -276,25 +307,42 @@ def main(argv=None) -> int:
     parser.add_argument("--uint8", action="store_true",
                         help="accept raw uint8 pixels and normalize on device "
                         "(4x less wire + host->device traffic)")
+    parser.add_argument("--dp", type=int, default=1,
+                        help="data-parallel fan-out: devices to shard each "
+                        "batch over (0 = all visible devices; 1 = single "
+                        "device)")
     args = parser.parse_args(argv)
 
-    from .engine import InferenceEngine, enable_compilation_cache
+    from .engine import (DataParallelEngine, InferenceEngine,
+                         enable_compilation_cache)
 
     enable_compilation_cache()
     cfg = config_lib.get_config(args.config)
     weights = binfmt.weights_to_dict(
         binfmt.load_weights(args.weights, cfg, strict=True), cfg
     )
-    engine = InferenceEngine(
-        cfg, weights, batch_size=args.batch_size,
-        attention_impl=args.attention, quantize=args.quantize,
-        normalize_uint8=args.uint8,
-    )
+    import jax
+
+    n_dp = len(jax.devices()) if args.dp == 0 else args.dp
+    if n_dp > 1:
+        if args.uint8:
+            raise SystemExit("--uint8 is not supported with --dp > 1 yet")
+        engine = DataParallelEngine(
+            cfg, weights, batch_size=args.batch_size,
+            devices=jax.devices()[:n_dp],
+            attention_impl=args.attention, quantize=args.quantize,
+        )
+    else:
+        engine = InferenceEngine(
+            cfg, weights, batch_size=args.batch_size,
+            attention_impl=args.attention, quantize=args.quantize,
+            normalize_uint8=args.uint8,
+        )
     compile_s = engine.warmup()
     server = InferenceServer(engine, args.host, args.port,
                              max_wait_ms=args.max_wait_ms)
     print(f"serving {cfg.name} on {server.address} "
-          f"(batch={args.batch_size}, compile {compile_s:.1f}s)")
+          f"(batch={args.batch_size}, dp={n_dp}, compile {compile_s:.1f}s)")
     try:
         server.serve_forever()
     except KeyboardInterrupt:
