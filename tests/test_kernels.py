@@ -503,3 +503,30 @@ def test_blockwise_fwd_lse_matches_logsumexp():
     ref_lse = jax.scipy.special.logsumexp(s, axis=-1)
     np.testing.assert_allclose(np.asarray(lse), np.asarray(ref_lse),
                                atol=1e-4)
+
+
+def test_fused_encoder_stack_matches_golden():
+    """Whole-encoder fused kernel (every layer in one launch) end-to-end."""
+    from vit_with_opencl_tpu.harness import fixtures
+    from vit_with_opencl_tpu.models import vit as vitmod
+    from vit_with_opencl_tpu.ops import fused_block
+
+    cfg = ViTConfig(name="fstk", img_size=32, patch_size=8, embed_dim=64,
+                    depth=3, num_heads=4, num_classes=9)
+    assert fused_block.supports_stack(cfg)
+    params = fixtures.random_params(cfg, seed=11, scale=0.05)
+    images = fixtures.random_images(cfg, n=4, seed=11)
+    ref = golden.golden_forward(images, params, cfg)
+    stacked = vitmod.stack_params(params, cfg, param_dtype=jnp.float32)
+    kern = vitmod.resolve_kernels("flash")
+    probs = vitmod.forward(jnp.asarray(images), stacked, cfg,
+                           compute_dtype=jnp.float32, kernels=kern)
+    np.testing.assert_allclose(np.asarray(probs), ref, atol=1e-5)
+
+
+def test_fused_stack_supports_gate():
+    from vit_with_opencl_tpu import get_config
+    from vit_with_opencl_tpu.ops import fused_block
+
+    assert fused_block.supports_stack(get_config("vit_tiny_16_224"))
+    assert not fused_block.supports_stack(get_config("vit_b_16_224"))

@@ -425,6 +425,13 @@ def encoder(x: jax.Array, params: Params, config: ViTConfig,
         from ..ops import fused_block
 
         wdtype = np.dtype(params["layers"]["qkv_w"].dtype)
+        if fused_block.supports_stack(config, dtype_bytes=wdtype.itemsize):
+            # Small models: the COMPLETE weight stack fits VMEM — run every
+            # layer in one launch (no inter-layer HBM round trips at all).
+            return fused_block.fused_encoder_stack(
+                x, params["layers"], config,
+                images_per_cell=kernels.get("fused_block_ipc"),
+            )
         if fused_block.supports(config, dtype_bytes=wdtype.itemsize):
             import functools as _ft
 

@@ -160,3 +160,172 @@ def supports(config: ViTConfig, dtype_bytes: int = 2) -> bool:
     d, h = config.embed_dim, config.hidden_dim
     weight_bytes = (d * 3 * d + d * d + d * h + h * d) * dtype_bytes
     return weight_bytes <= FUSED_BLOCK_MAX_WEIGHT_BYTES
+
+
+# ---------------------------------------------------------------------------
+# Whole-ENCODER fused kernel: every layer of a small model in ONE launch.
+#
+# For ViT-Tiny the complete 12-layer weight stack is ~10.6 MB bf16 — it fits
+# VMEM outright. Running the whole encoder per grid cell removes what the
+# per-layer fused block still pays: an HBM round trip of the activations
+# between every layer (2 x depth passes) and depth pallas_call launches per
+# scan step. Weights use constant index maps, so Mosaic keeps them resident
+# across the entire batch grid: HBM traffic collapses to x in + out once +
+# weights once.
+# ---------------------------------------------------------------------------
+
+
+def _stack_kernel(
+    x_ref, ln1w_ref, ln1b_ref, qkvw_ref, qkvb_ref, outw_ref, outb_ref,
+    ln2w_ref, ln2b_ref, fc1w_ref, fc1b_ref, fc2w_ref, fc2b_ref, o_ref,
+    *, depth: int, num_heads: int, head_dim: int, eps: float,
+    images_per_cell: int, seq_len: int,
+):
+    """All layers, with the cell's images MERGED into the GEMM M dimension.
+
+    x block is [ipc, t_pad, D] with t_pad a multiple of the sublane tile
+    (16), padded outside the kernel. Everything except the attention core
+    runs on the flat [ipc*t_pad, D] view, so the matmuls see an M of
+    ipc*t_pad instead of 197 — round-1's flat-block attempt LOST because its
+    197-row per-image slices were tile-misaligned and Mosaic paid relayouts;
+    the padded t_pad makes every slice offset a tile multiple. Padded KV
+    columns are masked in the attention softmax; padded query rows carry
+    garbage in their own rows only and are sliced off outside.
+    """
+    scale = float(1.0 / np.sqrt(head_dim))
+    ipc = images_per_cell
+    t_pad = x_ref.shape[1]
+    d = num_heads * head_dim
+
+    neg = None
+    if t_pad != seq_len:
+        col = jax.lax.broadcasted_iota(jnp.int32, (t_pad, t_pad), 1)
+        neg = jnp.where(col < seq_len, 0.0, attention.MASK_VALUE).astype(
+            jnp.float32
+        )
+
+    def ln(xf, w, b):
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean
+        inv = jax.lax.rsqrt(var + eps)
+        return (xf - mean) * inv * w.astype(jnp.float32) + b.astype(jnp.float32)
+
+    x = x_ref[...].reshape(ipc * t_pad, d).astype(jnp.float32)
+    for l in range(depth):  # static unroll: weights stay VMEM-resident
+        h = ln(x, ln1w_ref[l], ln1b_ref[l]).astype(x_ref.dtype)
+        qkv = jnp.dot(h, qkvw_ref[l], preferred_element_type=jnp.float32)
+        qkv = (qkv + qkvb_ref[l].astype(jnp.float32)).astype(x_ref.dtype)
+        ctx_rows = []
+        for img in range(ipc):
+            qkv_i = qkv[img * t_pad:(img + 1) * t_pad]  # tile-aligned slice
+            ctx_parts = []
+            for hh in range(num_heads):
+                qo, ko, vo = attention._packed_offsets(
+                    "slab", hh, num_heads, head_dim
+                )
+                o, _ = attention._head_attention(
+                    qkv_i[:, qo:qo + head_dim], qkv_i[:, ko:ko + head_dim],
+                    qkv_i[:, vo:vo + head_dim], scale, neg,
+                )
+                ctx_parts.append(o.astype(x_ref.dtype))
+            ctx_rows.append(jnp.concatenate(ctx_parts, axis=-1))
+        ctx = jnp.concatenate(ctx_rows, axis=0)  # [ipc*t_pad, D]
+        attn = jnp.dot(ctx, outw_ref[l], preferred_element_type=jnp.float32)
+        x = x + attn + outb_ref[l].astype(jnp.float32)
+        h = ln(x, ln2w_ref[l], ln2b_ref[l]).astype(x_ref.dtype)
+        hid = jnp.dot(h, fc1w_ref[l], preferred_element_type=jnp.float32)
+        hid = hid + fc1b_ref[l].astype(jnp.float32)
+        hid = 0.5 * hid * (
+            1.0 + _erf_approx(hid * np.float32(1 / np.sqrt(2.0)))
+        )
+        mlp = jnp.dot(hid.astype(x_ref.dtype), fc2w_ref[l],
+                      preferred_element_type=jnp.float32)
+        x = x + mlp + fc2b_ref[l].astype(jnp.float32)
+    o_ref[...] = x.reshape(ipc, t_pad, d).astype(o_ref.dtype)
+
+
+# The whole weight stack plus activations/temporaries must fit scoped VMEM.
+FUSED_STACK_MAX_WEIGHT_BYTES = 24 << 20
+
+
+def fused_encoder_stack(
+    x: jax.Array,
+    layers,
+    config: ViTConfig,
+    *,
+    images_per_cell: int | None = None,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """The COMPLETE encoder (all layers) in one fused launch.
+
+    ``layers`` is the stacked per-layer pytree (models/vit layout, leading
+    layer axis). x: [B, T, D] → [B, T, D].
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, t, d = x.shape
+    L = config.depth
+    nh, hd = config.num_heads, config.head_dim
+    hdim = config.hidden_dim
+    if images_per_cell is None:
+        # v5e sweep (ViT-Tiny bs1024, encoder-only ms/batch): ipc=2 40.5,
+        # ipc=4 38.5 (flat-M GEMMs reward the larger M); ipc=8's unrolled
+        # kernel takes >9 min to compile — not worth it.
+        images_per_cell = 4
+    while b % images_per_cell:
+        images_per_cell -= 1
+
+    # Pad the token axis to the bf16 sublane tile so the kernel's flat-M
+    # per-image slices are tile-aligned (the "new idea" vs round-1's losing
+    # flat-block attempt: alignment, not raggedness).
+    t_pad = -(-t // 16) * 16
+    if t_pad != t:
+        x = jnp.pad(x, ((0, 0), (0, t_pad - t), (0, 0)))
+
+    kernel = functools.partial(
+        _stack_kernel, depth=L, num_heads=nh, head_dim=hd, eps=config.eps,
+        images_per_cell=images_per_cell, seq_len=t,
+    )
+
+    def whole(shape):
+        zeros = (0,) * len(shape)
+        return pl.BlockSpec(shape, lambda i, _z=zeros: _z)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(b // images_per_cell,),
+        in_specs=[
+            pl.BlockSpec((images_per_cell, t_pad, d), lambda i: (i, 0, 0)),
+            whole((L, d)), whole((L, d)),            # ln1 w/b
+            whole((L, d, 3 * d)), whole((L, 3 * d)),  # qkv w/b
+            whole((L, d, d)), whole((L, d)),          # out w/b
+            whole((L, d)), whole((L, d)),             # ln2 w/b
+            whole((L, d, hdim)), whole((L, hdim)),    # fc1 w/b
+            whole((L, hdim, d)), whole((L, d)),       # fc2 w/b
+        ],
+        out_specs=pl.BlockSpec((images_per_cell, t_pad, d), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, t_pad, d), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=64 << 20,
+        ),
+        interpret=interpret,
+    )(
+        x,
+        layers["ln1_w"], layers["ln1_b"],
+        layers["qkv_w"].astype(x.dtype), layers["qkv_b"],
+        layers["out_w"].astype(x.dtype), layers["out_b"],
+        layers["ln2_w"], layers["ln2_b"],
+        layers["fc1_w"].astype(x.dtype), layers["fc1_b"],
+        layers["fc2_w"].astype(x.dtype), layers["fc2_b"],
+    )
+    return out[:, :t] if t_pad != t else out
+
+
+def supports_stack(config: ViTConfig, dtype_bytes: int = 2) -> bool:
+    """Whole-encoder fusion: the FULL weight stack must fit the VMEM budget."""
+    if config.gelu_approx != "erf":
+        return False
+    d, h = config.embed_dim, config.hidden_dim
+    per_layer = (d * 3 * d + d * d + d * h + h * d) * dtype_bytes
+    return config.depth * per_layer <= FUSED_STACK_MAX_WEIGHT_BYTES
