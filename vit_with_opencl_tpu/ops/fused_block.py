@@ -41,6 +41,28 @@ def _erf_approx(x):
     return sign * (1.0 - poly * jnp.exp(-ax * ax))
 
 
+# Minimax-fitted odd polynomial inside tanh: GELU(x) = 0.5x(1+tanh(x P(x^2))).
+# tanh absorbs the CDF saturation, so 5 coefficients reach |err| <= 3.4e-6 on
+# all of R (strictly positive P keeps the tails exact); fit in
+# scripts (least-squares + minimax reweighting vs scipy erf).
+_GELU_P = (0.79782813653302, 0.03646878821593782, -0.00012485972711897262,
+           -3.0581402420578764e-05, 1.1191059256776888e-06)
+
+
+def _gelu_fast(x):
+    """erf-GELU to 3.4e-6 in ~10 VPU ops: one tanh, no exp/divide/abs/select.
+
+    The A&S erf route (_erf_approx) costs an exp + reciprocal + sign/abs per
+    element; on VPU-bound small models the GELU composite was measured at 23%
+    of total runtime (scripts/probe_tiny_bound.py). This form halves that.
+    """
+    u = x * x
+    p = jnp.float32(_GELU_P[4])
+    for c in _GELU_P[3::-1]:
+        p = p * u + jnp.float32(c)
+    return 0.5 * x * (1.0 + jnp.tanh(x * p))
+
+
 def _block_kernel(
     x_ref, ln1w_ref, ln1b_ref, qkvw_ref, qkvb_ref, outw_ref, outb_ref,
     ln2w_ref, ln2b_ref, fc1w_ref, fc1b_ref, fc2w_ref, fc2b_ref, o_ref,
@@ -77,7 +99,7 @@ def _block_kernel(
         h = ln(x, ln2w_ref, ln2b_ref).astype(x_ref.dtype)
         hid = jnp.dot(h, fc1w_ref[...], preferred_element_type=jnp.float32)
         hid = hid + fc1b_ref[0].astype(jnp.float32)
-        hid = 0.5 * hid * (1.0 + _erf_approx(hid * np.float32(1 / np.sqrt(2.0))))
+        hid = _gelu_fast(hid)
         mlp = jnp.dot(hid.astype(x_ref.dtype), fc2w_ref[...],
                       preferred_element_type=jnp.float32)
         x = x + mlp + fc2b_ref[0].astype(jnp.float32)  # residual 2
@@ -235,9 +257,7 @@ def _stack_kernel(
         h = ln(x, ln2w_ref[l], ln2b_ref[l]).astype(x_ref.dtype)
         hid = jnp.dot(h, fc1w_ref[l], preferred_element_type=jnp.float32)
         hid = hid + fc1b_ref[l].astype(jnp.float32)
-        hid = 0.5 * hid * (
-            1.0 + _erf_approx(hid * np.float32(1 / np.sqrt(2.0)))
-        )
+        hid = _gelu_fast(hid)
         mlp = jnp.dot(hid.astype(x_ref.dtype), fc2w_ref[l],
                       preferred_element_type=jnp.float32)
         x = x + mlp + fc2b_ref[l].astype(jnp.float32)
@@ -291,6 +311,11 @@ def fused_encoder_stack(
         zeros = (0,) * len(shape)
         return pl.BlockSpec(shape, lambda i, _z=zeros: _z)
 
+    # VMEM limit scales with the resident weight stack (Tiny fits the 64 MB
+    # default comfortably; larger stacks need headroom for activations too).
+    wbytes = L * (d * 3 * d + d * d + 2 * d * hdim) * x.dtype.itemsize
+    vmem_limit = min(max(64 << 20, wbytes + (32 << 20)), 110 << 20)
+
     out = pl.pallas_call(
         kernel,
         grid=(b // images_per_cell,),
@@ -307,7 +332,7 @@ def fused_encoder_stack(
         out_shape=jax.ShapeDtypeStruct((b, t_pad, d), x.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
-            vmem_limit_bytes=64 << 20,
+            vmem_limit_bytes=vmem_limit,
         ),
         interpret=interpret,
     )(

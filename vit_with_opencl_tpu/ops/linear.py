@@ -27,17 +27,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _erf_approx(x):
-    """Abramowitz & Stegun 7.1.26 rational erf approximation (|err| <= 1.5e-7
-    absolute — far below bf16 noise). Mosaic has no erf primitive; this uses
-    only mul/add/exp, all supported in Pallas TPU kernels."""
-    a1, a2, a3 = 0.254829592, -0.284496736, 1.421413741
-    a4, a5, p = -1.453152027, 1.061405429, 0.3275911
-    sign = jnp.sign(x)
-    ax = jnp.abs(x)
-    t = 1.0 / (1.0 + p * ax)
-    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
-    return sign * (1.0 - poly * jnp.exp(-ax * ax))
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -58,7 +47,9 @@ def _linear_kernel(x_ref, w_ref, b_ref, o_ref, acc_ref, *, num_k: int,
     def _epilogue():
         out = acc_ref[...] + b_ref[...].astype(jnp.float32)
         if fuse_gelu:
-            out = 0.5 * out * (1.0 + _erf_approx(out * np.float32(1 / np.sqrt(2.0))))
+            from .fused_block import _gelu_fast
+
+            out = _gelu_fast(out)
         o_ref[...] = out.astype(o_ref.dtype)
 
 
