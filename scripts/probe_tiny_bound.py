@@ -38,6 +38,9 @@ def timed_forward(images, params, cfg, iters):
 
 
 def main():
+    from vit_with_opencl_tpu.engine import enable_compilation_cache
+
+    enable_compilation_cache()
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 20
     cfg = get_config("vit_tiny_16_224")

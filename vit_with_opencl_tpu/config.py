@@ -114,6 +114,12 @@ VIT_TINY_16_224 = ViTConfig(
     name="vit_tiny_16_224", embed_dim=192, depth=12, num_heads=3
 )
 
+# ViT-Small (timm vit_small_patch16_224 geometry): the mid-size class the
+# fused-block kernel targets — per-layer weights ~3.4 MiB bf16 fit VMEM.
+VIT_S_16_224 = ViTConfig(
+    name="vit_s_16_224", embed_dim=384, depth=12, num_heads=6
+)
+
 VIT_L_16_384 = ViTConfig(
     name="vit_l_16_384",
     img_size=384,
@@ -140,7 +146,8 @@ DEIT_B_16_224 = ViTConfig(
 
 PRESETS = {
     c.name: c
-    for c in (VIT_B_16_224, VIT_TINY_16_224, VIT_L_16_384, CLIP_VIT_B_16, DEIT_B_16_224)
+    for c in (VIT_B_16_224, VIT_TINY_16_224, VIT_S_16_224, VIT_L_16_384,
+              CLIP_VIT_B_16, DEIT_B_16_224)
 }
 
 

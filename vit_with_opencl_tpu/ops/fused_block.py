@@ -8,10 +8,12 @@ weight VMEM-resident (constant index maps keep them loaded across the batch
 grid): LN1 → QKV → per-head attention → out-proj → residual → LN2 → fc1 →
 erf-GELU → fc2 → residual, with activations never leaving VMEM.
 
-Only worthwhile when the whole weight set + activations of a layer fit VMEM
-(D ≲ 384 at 197 tokens); larger models use the per-op path where XLA's GEMMs
-are already compute-bound. The layer loop stays an XLA ``lax.scan`` — each
-step is one fused kernel launch.
+Measured on v5e, whole-layer fusion beats the per-op XLA path at EVERY model
+size whose per-layer weights fit VMEM — +36% at D=384 down to +12.5% at
+D=768 (see FUSED_BLOCK_MAX_WEIGHT_BYTES) — because it removes the LN/
+residual/GELU HBM round trips between GEMMs. The layer loop stays an XLA
+``lax.scan`` — each step is one fused kernel launch. Models whose COMPLETE
+stack fits VMEM additionally use the whole-encoder variant below.
 """
 
 from __future__ import annotations
@@ -108,7 +110,13 @@ def _block_kernel(
 
 # Above this per-layer weight footprint (bytes, bf16), fall back to the
 # per-op path — the fused block must keep weights + activations in VMEM.
-FUSED_BLOCK_MAX_WEIGHT_BYTES = 4 << 20
+# Measured on v5e (scripts/probe_midsize.py, bs-saturated, vs per-op XLA):
+#   D=384  3.4 MB:  +36%   (13.1k vs 9.7k img/s; the stack kernel does +46%)
+#   D=512  6.3 MB:  +31%   (8.3k vs 6.3k img/s, 132 TF/s)
+#   D=768 14.2 MB:  +12.5% (4.1k vs 3.6k img/s, 144 TF/s = 94% measured peak)
+# Round 1 assumed big models gain nothing; that was the unmeasured 4 MB gate
+# talking — whole-layer fusion wins at every size that fits VMEM.
+FUSED_BLOCK_MAX_WEIGHT_BYTES = 16 << 20
 
 
 def fused_encoder_layer(
@@ -265,7 +273,10 @@ def _stack_kernel(
 
 
 # The whole weight stack plus activations/temporaries must fit scoped VMEM.
-FUSED_STACK_MAX_WEIGHT_BYTES = 24 << 20
+# ViT-S's 40.5 MB stack measures faster than its per-layer fused block
+# (14.1k vs 13.1k img/s, 130 TF/s), so the cap sits above it; ViT-B's
+# 170 MB stack cannot fit.
+FUSED_STACK_MAX_WEIGHT_BYTES = 44 << 20
 
 
 def fused_encoder_stack(
