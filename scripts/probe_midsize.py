@@ -63,15 +63,20 @@ def main():
     flops = cfg.flops_per_image * batch
 
     real_sup, real_stk = fused_block.supports, fused_block.supports_stack
+    real_layer = fused_block.fused_encoder_layer
     variants = {
         "perop": (lambda *a, **k: False, lambda *a, **k: False),
         "fused": (lambda *a, **k: True, lambda *a, **k: False),
+        "fusedflat": (lambda *a, **k: True, lambda *a, **k: False),
         "stack": (lambda *a, **k: False, lambda *a, **k: True),
     }
     print(f"{cfg.name} bs{batch} ({flops / batch / 1e9:.1f} GFLOP/img)")
     for label in wanted:
         sup, stk = variants[label]
         fused_block.supports, fused_block.supports_stack = sup, stk
+        fused_block.fused_encoder_layer = (
+            fused_block.fused_encoder_layer_flat if label == "fusedflat"
+            else real_layer)
         try:
             dt = timed_forward(images, params, cfg, iters)
         except Exception as e:  # noqa: BLE001 — probe reports, doesn't die
@@ -80,6 +85,7 @@ def main():
         finally:
             fused_block.supports, fused_block.supports_stack = (
                 real_sup, real_stk)
+            fused_block.fused_encoder_layer = real_layer
         print(f"  {label:6s}: {dt * 1e3:8.2f} ms/batch  "
               f"{batch / dt:9.0f} img/s  {flops / dt / 1e12:6.1f} TF/s")
 

@@ -286,16 +286,18 @@ def fused_encoder_stack(
     *,
     images_per_cell: int | None = None,
     interpret: bool | None = None,
+    num_layers: int | None = None,
 ) -> jax.Array:
-    """The COMPLETE encoder (all layers) in one fused launch.
+    """``num_layers`` consecutive encoder layers in one fused launch.
 
     ``layers`` is the stacked per-layer pytree (models/vit layout, leading
-    layer axis). x: [B, T, D] → [B, T, D].
+    layer axis of length ``num_layers``, default the whole ``config.depth``
+    stack). x: [B, T, D] → [B, T, D].
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     b, t, d = x.shape
-    L = config.depth
+    L = config.depth if num_layers is None else num_layers
     nh, hd = config.num_heads, config.head_dim
     hdim = config.hidden_dim
     if images_per_cell is None:
@@ -356,6 +358,33 @@ def fused_encoder_stack(
         layers["fc2_w"].astype(x.dtype), layers["fc2_b"],
     )
     return out[:, :t] if t_pad != t else out
+
+
+def fused_encoder_layer_flat(
+    x: jax.Array,
+    lp,
+    config: ViTConfig,
+    *,
+    images_per_cell: int | None = None,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """One encoder layer via the flat-M stack kernel (num_layers=1).
+
+    Same math as ``fused_encoder_layer`` but with the cell's images merged
+    into the GEMM M dimension on a tile-padded token axis — the layout that
+    wins for the whole-stack kernel. Drop-in for the ``encoder_block`` slot.
+
+    Measured NEGATIVE result at D=768 (ViT-B bs256, v5e): 67.8 ms/batch vs
+    62.5 for the per-image variant — at big D the GEMMs are already fat and
+    the 197→208 token pad (+5.6% FLOPs) outweighs the aligned-M gain. Kept
+    as a benchmarking alternate (scripts/probe_midsize.py 'fusedflat');
+    production per-layer fusion stays per-image.
+    """
+    layers1 = jax.tree.map(lambda a: a[None], lp)
+    return fused_encoder_stack(
+        x, layers1, config, images_per_cell=images_per_cell,
+        interpret=interpret, num_layers=1,
+    )
 
 
 def supports_stack(config: ViTConfig, dtype_bytes: int = 2) -> bool:
