@@ -26,8 +26,10 @@ from vit_with_opencl_tpu.models import vit
 from vit_with_opencl_tpu.ops import fused_block
 
 
-def timed_forward(images, params, cfg, iters):
+def timed_forward(images, params, cfg, iters, group_size=None):
     kern = vit.resolve_kernels("flash")
+    if group_size:
+        kern["fused_group_size"] = group_size
     fwd = jax.jit(
         lambda im: vit.forward(im, params, cfg,
                                compute_dtype=jnp.bfloat16, kernels=kern)
@@ -68,6 +70,9 @@ def main():
         "perop": (lambda *a, **k: False, lambda *a, **k: False),
         "fused": (lambda *a, **k: True, lambda *a, **k: False),
         "fusedflat": (lambda *a, **k: True, lambda *a, **k: False),
+        "group2": (lambda *a, **k: True, lambda *a, **k: False),
+        "group3": (lambda *a, **k: True, lambda *a, **k: False),
+        "group4": (lambda *a, **k: True, lambda *a, **k: False),
         "stack": (lambda *a, **k: False, lambda *a, **k: True),
     }
     print(f"{cfg.name} bs{batch} ({flops / batch / 1e9:.1f} GFLOP/img)")
@@ -77,8 +82,9 @@ def main():
         fused_block.fused_encoder_layer = (
             fused_block.fused_encoder_layer_flat if label == "fusedflat"
             else real_layer)
+        gs = int(label[5:]) if label.startswith("group") else None
         try:
-            dt = timed_forward(images, params, cfg, iters)
+            dt = timed_forward(images, params, cfg, iters, group_size=gs)
         except Exception as e:  # noqa: BLE001 — probe reports, doesn't die
             print(f"  {label:6s}: FAILED {type(e).__name__}: {e}"[:200])
             continue

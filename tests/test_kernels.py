@@ -544,6 +544,24 @@ def test_fused_layer_flat_matches_golden():
     np.testing.assert_allclose(np.asarray(probs), ref, atol=1e-5)
 
 
+def test_fused_group_matches_golden():
+    """Layer-group fusion (2 layers/launch) end-to-end vs golden."""
+    from vit_with_opencl_tpu.harness import fixtures
+    from vit_with_opencl_tpu.models import vit as vitmod
+
+    cfg = ViTConfig(name="fgrp", img_size=32, patch_size=8, embed_dim=64,
+                    depth=4, num_heads=4, num_classes=9)
+    params = fixtures.random_params(cfg, seed=4, scale=0.05)
+    images = fixtures.random_images(cfg, n=4, seed=4)
+    ref = golden.golden_forward(images, params, cfg)
+    stacked = vitmod.stack_params(params, cfg, param_dtype=jnp.float32)
+    kern = vitmod.resolve_kernels("flash")
+    kern["fused_group_size"] = 2
+    probs = vitmod.forward(jnp.asarray(images), stacked, cfg,
+                           compute_dtype=jnp.float32, kernels=kern)
+    np.testing.assert_allclose(np.asarray(probs), ref, atol=1e-5)
+
+
 def test_fused_stack_supports_gate():
     from vit_with_opencl_tpu import get_config
     from vit_with_opencl_tpu.ops import fused_block

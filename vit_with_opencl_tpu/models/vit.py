@@ -425,6 +425,15 @@ def encoder(x: jax.Array, params: Params, config: ViTConfig,
         from ..ops import fused_block
 
         wdtype = np.dtype(params["layers"]["qkv_w"].dtype)
+        gs = kernels.get("fused_group_size")
+        if (gs and gs > 1 and config.depth % gs == 0
+                and fused_block.supports(config, dtype_bytes=wdtype.itemsize)):
+            # Explicit layer-group override: scan over groups of gs fused
+            # layers — residual-stream HBM round trips paid once per group.
+            return fused_block.fused_encoder_group(
+                x, params["layers"], config, group_size=gs,
+                images_per_cell=kernels.get("fused_block_ipc"),
+            )
         if fused_block.supports_stack(config, dtype_bytes=wdtype.itemsize):
             # Small models: the COMPLETE weight stack fits VMEM — run every
             # layer in one launch (no inter-layer HBM round trips at all).

@@ -69,42 +69,49 @@ def _block_kernel(
     x_ref, ln1w_ref, ln1b_ref, qkvw_ref, qkvb_ref, outw_ref, outb_ref,
     ln2w_ref, ln2b_ref, fc1w_ref, fc1b_ref, fc2w_ref, fc2b_ref, o_ref,
     *, num_heads: int, head_dim: int, eps: float, images_per_cell: int,
+    depth: int = 1,
 ):
-    d = num_heads * head_dim
+    """``depth`` consecutive layers per launch, per-image [T, D] GEMMs.
+
+    Weight refs carry a leading [depth] axis; with depth > 1 the residual
+    stream stays in VMEM across the whole layer group, so the per-boundary
+    HBM round trip of the activations is paid once per group instead of
+    once per layer.
+    """
     scale = float(1.0 / np.sqrt(head_dim))
 
-    def ln(xf, w_ref, b_ref):
+    def ln(xf, w, b):
         mean = jnp.mean(xf, axis=-1, keepdims=True)
         var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean
         inv = jax.lax.rsqrt(var + eps)
-        return (xf - mean) * inv * w_ref[0].astype(jnp.float32) + b_ref[
-            0
-        ].astype(jnp.float32)
+        return (xf - mean) * inv * w.astype(jnp.float32) + b.astype(jnp.float32)
 
     for img in range(images_per_cell):
         x = x_ref[img].astype(jnp.float32)  # [T, D]
-        h = ln(x, ln1w_ref, ln1b_ref).astype(x_ref.dtype)
-        qkv = jnp.dot(h, qkvw_ref[...], preferred_element_type=jnp.float32)
-        qkv = (qkv + qkvb_ref[0].astype(jnp.float32)).astype(x_ref.dtype)
-        ctx_parts = []
-        for hh in range(num_heads):
-            qo, ko, vo = attention._packed_offsets("slab", hh, num_heads,
-                                                   head_dim)
-            o, _ = attention._head_attention(
-                qkv[:, qo:qo + head_dim], qkv[:, ko:ko + head_dim],
-                qkv[:, vo:vo + head_dim], scale,
-            )
-            ctx_parts.append(o.astype(x_ref.dtype))
-        ctx = jnp.concatenate(ctx_parts, axis=-1)  # [T, D]
-        attn = jnp.dot(ctx, outw_ref[...], preferred_element_type=jnp.float32)
-        x = x + attn + outb_ref[0].astype(jnp.float32)  # residual 1 (fp32)
-        h = ln(x, ln2w_ref, ln2b_ref).astype(x_ref.dtype)
-        hid = jnp.dot(h, fc1w_ref[...], preferred_element_type=jnp.float32)
-        hid = hid + fc1b_ref[0].astype(jnp.float32)
-        hid = _gelu_fast(hid)
-        mlp = jnp.dot(hid.astype(x_ref.dtype), fc2w_ref[...],
-                      preferred_element_type=jnp.float32)
-        x = x + mlp + fc2b_ref[0].astype(jnp.float32)  # residual 2
+        for l in range(depth):  # static unroll keeps weights VMEM-resident
+            h = ln(x, ln1w_ref[l], ln1b_ref[l]).astype(x_ref.dtype)
+            qkv = jnp.dot(h, qkvw_ref[l], preferred_element_type=jnp.float32)
+            qkv = (qkv + qkvb_ref[l].astype(jnp.float32)).astype(x_ref.dtype)
+            ctx_parts = []
+            for hh in range(num_heads):
+                qo, ko, vo = attention._packed_offsets("slab", hh, num_heads,
+                                                       head_dim)
+                o, _ = attention._head_attention(
+                    qkv[:, qo:qo + head_dim], qkv[:, ko:ko + head_dim],
+                    qkv[:, vo:vo + head_dim], scale,
+                )
+                ctx_parts.append(o.astype(x_ref.dtype))
+            ctx = jnp.concatenate(ctx_parts, axis=-1)  # [T, D]
+            attn = jnp.dot(ctx, outw_ref[l],
+                           preferred_element_type=jnp.float32)
+            x = x + attn + outb_ref[l].astype(jnp.float32)  # residual 1
+            h = ln(x, ln2w_ref[l], ln2b_ref[l]).astype(x_ref.dtype)
+            hid = jnp.dot(h, fc1w_ref[l], preferred_element_type=jnp.float32)
+            hid = hid + fc1b_ref[l].astype(jnp.float32)
+            hid = _gelu_fast(hid)
+            mlp = jnp.dot(hid.astype(x_ref.dtype), fc2w_ref[l],
+                          preferred_element_type=jnp.float32)
+            x = x + mlp + fc2b_ref[l].astype(jnp.float32)  # residual 2
         o_ref[img] = x.astype(o_ref.dtype)
 
 
@@ -117,6 +124,56 @@ def _block_kernel(
 # Round 1 assumed big models gain nothing; that was the unmeasured 4 MB gate
 # talking — whole-layer fusion wins at every size that fits VMEM.
 FUSED_BLOCK_MAX_WEIGHT_BYTES = 16 << 20
+
+
+def _group_call(x: jax.Array, g, config: ViTConfig, depth: int,
+                images_per_cell: int, interpret: bool) -> jax.Array:
+    """pallas_call for ``depth`` layers; ``g`` leaves carry a [depth] axis."""
+    b, t, d = x.shape
+    hdim = config.hidden_dim
+
+    kernel = functools.partial(
+        _block_kernel, num_heads=config.num_heads, head_dim=config.head_dim,
+        eps=config.eps, images_per_cell=images_per_cell, depth=depth,
+    )
+
+    def whole(shape):
+        zeros = (0,) * len(shape)
+        return pl.BlockSpec(shape, lambda i, _z=zeros: _z)
+
+    L = depth
+    # Weight residency scales with the group; leave activation headroom.
+    wbytes = L * (d * 3 * d + d * d + 2 * d * hdim) * x.dtype.itemsize
+    vmem_limit = min(max(64 << 20, wbytes + (32 << 20)), 110 << 20)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(b // images_per_cell,),
+        in_specs=[
+            pl.BlockSpec((images_per_cell, t, d), lambda i: (i, 0, 0)),
+            whole((L, d)), whole((L, d)),             # ln1 w/b
+            whole((L, d, 3 * d)), whole((L, 3 * d)),  # qkv w/b
+            whole((L, d, d)), whole((L, d)),          # out w/b
+            whole((L, d)), whole((L, d)),             # ln2 w/b
+            whole((L, d, hdim)), whole((L, hdim)),    # fc1 w/b
+            whole((L, hdim, d)), whole((L, d)),       # fc2 w/b
+        ],
+        out_specs=pl.BlockSpec((images_per_cell, t, d), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, t, d), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=vmem_limit,
+        ),
+        interpret=interpret,
+    )(
+        x,
+        g["ln1_w"], g["ln1_b"],
+        g["qkv_w"].astype(x.dtype), g["qkv_b"],
+        g["out_w"].astype(x.dtype), g["out_b"],
+        g["ln2_w"], g["ln2_b"],
+        g["fc1_w"].astype(x.dtype), g["fc1_b"],
+        g["fc2_w"].astype(x.dtype), g["fc2_b"],
+    )
 
 
 def fused_encoder_layer(
@@ -134,51 +191,59 @@ def fused_encoder_layer(
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    b, t, d = x.shape
-    nh, hd = config.num_heads, config.head_dim
-    hdim = config.hidden_dim
+    b = x.shape[0]
     if images_per_cell is None:
         # v5e sweep (ViT-Tiny bs1024): 2 images/cell is ~8% faster than 1
         # (weight reuse within a cell); 4/8 are equal to 2.
         images_per_cell = 2
     while b % images_per_cell:
         images_per_cell -= 1
+    g = jax.tree.map(lambda a: a[None], lp)
+    return _group_call(x, g, config, 1, images_per_cell, interpret)
 
-    kernel = functools.partial(
-        _block_kernel, num_heads=nh, head_dim=hd, eps=config.eps,
-        images_per_cell=images_per_cell,
-    )
-    def full2d(shape):
-        return pl.BlockSpec(shape, lambda i: (0, 0))
 
-    return pl.pallas_call(
-        kernel,
-        grid=(b // images_per_cell,),
-        in_specs=[
-            pl.BlockSpec((images_per_cell, t, d), lambda i: (i, 0, 0)),
-            full2d((1, d)), full2d((1, d)),          # ln1 w/b
-            full2d((d, 3 * d)), full2d((1, 3 * d)),  # qkv w/b
-            full2d((d, d)), full2d((1, d)),          # out w/b
-            full2d((1, d)), full2d((1, d)),          # ln2 w/b
-            full2d((d, hdim)), full2d((1, hdim)),    # fc1 w/b
-            full2d((hdim, d)), full2d((1, d)),       # fc2 w/b
-        ],
-        out_specs=pl.BlockSpec((images_per_cell, t, d), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, t, d), x.dtype),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",),
-            vmem_limit_bytes=64 << 20,
-        ),
-        interpret=interpret,
-    )(
-        x,
-        lp["ln1_w"].reshape(1, d), lp["ln1_b"].reshape(1, d),
-        lp["qkv_w"].astype(x.dtype), lp["qkv_b"].reshape(1, 3 * d),
-        lp["out_w"].astype(x.dtype), lp["out_b"].reshape(1, d),
-        lp["ln2_w"].reshape(1, d), lp["ln2_b"].reshape(1, d),
-        lp["fc1_w"].astype(x.dtype), lp["fc1_b"].reshape(1, hdim),
-        lp["fc2_w"].astype(x.dtype), lp["fc2_b"].reshape(1, d),
+def fused_encoder_group(
+    x: jax.Array,
+    layers,
+    config: ViTConfig,
+    *,
+    group_size: int,
+    images_per_cell: int | None = None,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """The encoder as a scan over groups of ``group_size`` fused layers.
+
+    Between-layer HBM round trips of the residual stream are paid once per
+    GROUP instead of once per layer (the per-image analogue of the
+    whole-encoder stack kernel, for models whose full stack cannot fit
+    VMEM but a few layers' weights can).
+
+    Measured NEGATIVE at D=768 (ViT-B bs256, v5e): group2 67.1 / group3
+    64.3 vs per-layer 61.3 ms/batch — a 28-43 MB resident weight group
+    leaves too little VMEM for input-block pipelining, costing more than
+    the ~6% boundary traffic it saves. Off by default; enabled only via
+    kernels["fused_group_size"] (scripts/probe_midsize.py 'groupN').
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    assert config.depth % group_size == 0, (config.depth, group_size)
+    b = x.shape[0]
+    ipc = images_per_cell
+    if ipc is None:
+        ipc = 2
+    while b % ipc:
+        ipc -= 1
+    grouped = jax.tree.map(
+        lambda a: a.reshape((config.depth // group_size, group_size)
+                            + a.shape[1:]),
+        layers,
     )
+
+    def step(h, g):
+        return _group_call(h, g, config, group_size, ipc, interpret), None
+
+    x, _ = jax.lax.scan(step, x, grouped)
+    return x
 
 
 def supports(config: ViTConfig, dtype_bytes: int = 2) -> bool:
