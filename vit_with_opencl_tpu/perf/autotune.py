@@ -238,3 +238,9 @@ def load_tuning(path: str | os.PathLike, key: str) -> Optional[Dict]:
         return None
     with open(path) as f:
         return json.load(f).get(key)
+
+
+if __name__ == "__main__":  # pragma: no cover — `python -m ...` convenience
+    import sys
+
+    sys.exit(main())
