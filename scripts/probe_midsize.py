@@ -26,19 +26,24 @@ from vit_with_opencl_tpu.models import vit
 from vit_with_opencl_tpu.ops import fused_block
 
 
-def timed_forward(images, params, cfg, iters, group_size=None):
+def timed_forward(images, params, cfg, iters, group_size=None, ipc=None):
     kern = vit.resolve_kernels("flash")
     if group_size:
         kern["fused_group_size"] = group_size
+    if ipc:
+        kern["fused_block_ipc"] = ipc
+    # params as explicit jit args (NOT closure constants — closed-over
+    # arrays get serialized into the program and trip the relay's 413
+    # size limit on big models).
     fwd = jax.jit(
-        lambda im: vit.forward(im, params, cfg,
-                               compute_dtype=jnp.bfloat16, kernels=kern)
+        lambda im, p: vit.forward(im, p, cfg,
+                                  compute_dtype=jnp.bfloat16, kernels=kern)
     )
-    out = fwd(images)
+    out = fwd(images, params)
     np.asarray(out.ravel()[:1])  # warm + fence
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fwd(images)
+        out = fwd(images, params)
     np.asarray(out.ravel()[:1])
     return (time.perf_counter() - t0) / iters
 
@@ -70,6 +75,8 @@ def main():
         "perop": (lambda *a, **k: False, lambda *a, **k: False),
         "fused": (lambda *a, **k: True, lambda *a, **k: False),
         "fusedflat": (lambda *a, **k: True, lambda *a, **k: False),
+        "fusedipc1": (lambda *a, **k: True, lambda *a, **k: False),
+        "fusedipc4": (lambda *a, **k: True, lambda *a, **k: False),
         "group2": (lambda *a, **k: True, lambda *a, **k: False),
         "group3": (lambda *a, **k: True, lambda *a, **k: False),
         "group4": (lambda *a, **k: True, lambda *a, **k: False),
@@ -83,8 +90,10 @@ def main():
             fused_block.fused_encoder_layer_flat if label == "fusedflat"
             else real_layer)
         gs = int(label[5:]) if label.startswith("group") else None
+        ipc = int(label[8:]) if label.startswith("fusedipc") else None
         try:
-            dt = timed_forward(images, params, cfg, iters, group_size=gs)
+            dt = timed_forward(images, params, cfg, iters, group_size=gs,
+                               ipc=ipc)
         except Exception as e:  # noqa: BLE001 — probe reports, doesn't die
             print(f"  {label:6s}: FAILED {type(e).__name__}: {e}"[:200])
             continue

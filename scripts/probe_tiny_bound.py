@@ -25,14 +25,14 @@ from vit_with_opencl_tpu.ops import attention, fused_block
 def timed_forward(images, params, cfg, iters):
     kern = vit.resolve_kernels("flash")
     fwd = jax.jit(
-        lambda im: vit.forward(im, params, cfg,
-                               compute_dtype=jnp.bfloat16, kernels=kern)
+        lambda im, p: vit.forward(im, p, cfg,
+                                  compute_dtype=jnp.bfloat16, kernels=kern)
     )
-    out = fwd(images)
+    out = fwd(images, params)
     np.asarray(out.ravel()[:1])  # warm + fence (block_until_ready lies here)
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fwd(images)
+        out = fwd(images, params)
     np.asarray(out.ravel()[:1])
     return (time.perf_counter() - t0) / iters
 

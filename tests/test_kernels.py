@@ -387,8 +387,10 @@ def test_fused_block_supports_gate():
     from vit_with_opencl_tpu import get_config
 
     assert fused_block.supports(get_config("vit_tiny_16_224"))
-    # ViT-B's 14.2 MB per-layer weights fit since the measured gate raise.
+    # ViT-B (14.2 MB/layer) and ViT-L (25.2 MB/layer) fit since the
+    # measured gate raises; both were probed faster than per-op on v5e.
     assert fused_block.supports(get_config("vit_b_16_224"))
+    assert fused_block.supports(get_config("vit_l_16_384"))
 
 
 def test_packed_bwd_padded_route_grads():

@@ -121,9 +121,10 @@ def _block_kernel(
 #   D=384  3.4 MB:  +36%   (13.1k vs 9.7k img/s; the stack kernel does +46%)
 #   D=512  6.3 MB:  +31%   (8.3k vs 6.3k img/s, 132 TF/s)
 #   D=768 14.2 MB:  +12.5% (4.1k vs 3.6k img/s, 144 TF/s = 94% measured peak)
+#   D=1024 25.2 MB @577 tokens: +10.6% (377 vs 341 img/s, 144 TF/s)
 # Round 1 assumed big models gain nothing; that was the unmeasured 4 MB gate
 # talking — whole-layer fusion wins at every size that fits VMEM.
-FUSED_BLOCK_MAX_WEIGHT_BYTES = 16 << 20
+FUSED_BLOCK_MAX_WEIGHT_BYTES = 28 << 20
 
 
 def _group_call(x: jax.Array, g, config: ViTConfig, depth: int,
