@@ -62,6 +62,7 @@ def main():
     else:
         cfg = get_config(name)
     params = vit.cheap_stacked_params(cfg)
+    qparams = None
     r = np.random.default_rng(0)
     images = jnp.asarray(
         r.standard_normal((batch, 3, cfg.img_size, cfg.img_size)) * 0.3,
@@ -75,6 +76,8 @@ def main():
         "perop": (lambda *a, **k: False, lambda *a, **k: False),
         "fused": (lambda *a, **k: True, lambda *a, **k: False),
         "fusedflat": (lambda *a, **k: True, lambda *a, **k: False),
+        "int8perop": (lambda *a, **k: False, lambda *a, **k: False),
+        "int8fused": (lambda *a, **k: True, lambda *a, **k: False),
         "fusedipc1": (lambda *a, **k: True, lambda *a, **k: False),
         "fusedipc4": (lambda *a, **k: True, lambda *a, **k: False),
         "group2": (lambda *a, **k: True, lambda *a, **k: False),
@@ -91,8 +94,18 @@ def main():
             else real_layer)
         gs = int(label[5:]) if label.startswith("group") else None
         ipc = int(label[8:]) if label.startswith("fusedipc") else None
+        p_run = params
+        if label.startswith("int8"):
+            if qparams is None:
+                from vit_with_opencl_tpu.models import quant
+
+                host = jax.tree.map(lambda a: np.asarray(a, np.float32),
+                                    params)
+                qparams = jax.device_put(
+                    quant.quantize_stacked_params(host, cfg))
+            p_run = qparams
         try:
-            dt = timed_forward(images, params, cfg, iters, group_size=gs,
+            dt = timed_forward(images, p_run, cfg, iters, group_size=gs,
                                ipc=ipc)
         except Exception as e:  # noqa: BLE001 — probe reports, doesn't die
             print(f"  {label:6s}: FAILED {type(e).__name__}: {e}"[:200])

@@ -79,3 +79,18 @@ def test_engine_int8_end_to_end():
     assert np.abs(probs - ref).max() < 5e-3
     with pytest.raises(ValueError, match="unknown quantize"):
         InferenceEngine(CFG, params_named, quantize="int4")
+
+
+def test_int8_fused_layer_matches_per_op():
+    """int8 weights through the fused-layer kernel (int8 VMEM residency +
+    per-channel scale epilogues) vs the per-op quantized XLA path."""
+    params_named = fixtures.random_params(CFG, seed=5, scale=0.05)
+    images = fixtures.random_images(CFG, n=4, seed=5)
+    stacked = vit.stack_params(params_named, CFG, param_dtype=jnp.float32)
+    qp = quant.quantize_stacked_params(stacked, CFG)
+    ref = vit.forward(jnp.asarray(images), qp, CFG, compute_dtype=jnp.float32,
+                      kernels=vit.resolve_kernels("xla"))
+    probs = vit.forward(jnp.asarray(images), qp, CFG,
+                        compute_dtype=jnp.float32,
+                        kernels=vit.resolve_kernels("flash"))
+    np.testing.assert_allclose(np.asarray(probs), np.asarray(ref), atol=1e-5)

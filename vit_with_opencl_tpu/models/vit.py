@@ -421,27 +421,29 @@ def encoder(x: jax.Array, params: Params, config: ViTConfig,
 
     quantized = quant.is_quantized(params["layers"]["qkv_w"])
     use_block = "encoder_block" in kernels and not quantized
-    if kernels.get("_fused_block_if_supported") and not use_block and not quantized:
+    if kernels.get("_fused_block_if_supported") and not use_block:
         from ..ops import fused_block
 
-        wdtype = np.dtype(params["layers"]["qkv_w"].dtype)
+        wdtype_bytes = (1 if quantized
+                        else np.dtype(params["layers"]["qkv_w"].dtype).itemsize)
         gs = kernels.get("fused_group_size")
         if (gs and gs > 1 and config.depth % gs == 0
-                and fused_block.supports(config, dtype_bytes=wdtype.itemsize)):
+                and fused_block.supports(config, dtype_bytes=wdtype_bytes)):
             # Explicit layer-group override: scan over groups of gs fused
             # layers — residual-stream HBM round trips paid once per group.
             return fused_block.fused_encoder_group(
                 x, params["layers"], config, group_size=gs,
                 images_per_cell=kernels.get("fused_block_ipc"),
             )
-        if fused_block.supports_stack(config, dtype_bytes=wdtype.itemsize):
+        if not quantized and fused_block.supports_stack(
+                config, dtype_bytes=wdtype_bytes):
             # Small models: the COMPLETE weight stack fits VMEM — run every
             # layer in one launch (no inter-layer HBM round trips at all).
             return fused_block.fused_encoder_stack(
                 x, params["layers"], config,
                 images_per_cell=kernels.get("fused_block_ipc"),
             )
-        if fused_block.supports(config, dtype_bytes=wdtype.itemsize):
+        if fused_block.supports(config, dtype_bytes=wdtype_bytes):
             import functools as _ft
 
             kernels = dict(kernels)

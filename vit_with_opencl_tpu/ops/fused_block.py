@@ -67,9 +67,9 @@ def _gelu_fast(x):
 
 def _block_kernel(
     x_ref, ln1w_ref, ln1b_ref, qkvw_ref, qkvb_ref, outw_ref, outb_ref,
-    ln2w_ref, ln2b_ref, fc1w_ref, fc1b_ref, fc2w_ref, fc2b_ref, o_ref,
-    *, num_heads: int, head_dim: int, eps: float, images_per_cell: int,
-    depth: int = 1,
+    ln2w_ref, ln2b_ref, fc1w_ref, fc1b_ref, fc2w_ref, fc2b_ref, *rest,
+    num_heads: int, head_dim: int, eps: float, images_per_cell: int,
+    depth: int = 1, quantized: bool = False,
 ):
     """``depth`` consecutive layers per launch, per-image [T, D] GEMMs.
 
@@ -77,8 +77,24 @@ def _block_kernel(
     stream stays in VMEM across the whole layer group, so the per-boundary
     HBM round trip of the activations is paid once per group instead of
     once per layer.
+
+    ``quantized``: weight refs hold int8 and ``rest`` leads with four
+    per-output-channel fp32 scale refs [depth, 1, out] (qkv/out/fc1/fc2);
+    each matmul casts int8→bf16 on the way into the MXU and applies the
+    scale to the fp32 accumulator (models/quant.matmul_q semantics).
     """
+    if quantized:
+        qkvs_ref, outs_ref, fc1s_ref, fc2s_ref, o_ref = rest
+    else:
+        (o_ref,) = rest
     scale = float(1.0 / np.sqrt(head_dim))
+
+    def mm(h, w_ref, l, s_ref):
+        acc = jnp.dot(h, w_ref[l].astype(h.dtype),
+                      preferred_element_type=jnp.float32)
+        if s_ref is not None:
+            acc = acc * s_ref[l]  # [1, out] fp32 epilogue
+        return acc
 
     def ln(xf, w, b):
         mean = jnp.mean(xf, axis=-1, keepdims=True)
@@ -86,11 +102,13 @@ def _block_kernel(
         inv = jax.lax.rsqrt(var + eps)
         return (xf - mean) * inv * w.astype(jnp.float32) + b.astype(jnp.float32)
 
+    qs, os_, f1s, f2s = ((qkvs_ref, outs_ref, fc1s_ref, fc2s_ref)
+                         if quantized else (None, None, None, None))
     for img in range(images_per_cell):
         x = x_ref[img].astype(jnp.float32)  # [T, D]
         for l in range(depth):  # static unroll keeps weights VMEM-resident
             h = ln(x, ln1w_ref[l], ln1b_ref[l]).astype(x_ref.dtype)
-            qkv = jnp.dot(h, qkvw_ref[l], preferred_element_type=jnp.float32)
+            qkv = mm(h, qkvw_ref, l, qs)
             qkv = (qkv + qkvb_ref[l].astype(jnp.float32)).astype(x_ref.dtype)
             ctx_parts = []
             for hh in range(num_heads):
@@ -102,15 +120,13 @@ def _block_kernel(
                 )
                 ctx_parts.append(o.astype(x_ref.dtype))
             ctx = jnp.concatenate(ctx_parts, axis=-1)  # [T, D]
-            attn = jnp.dot(ctx, outw_ref[l],
-                           preferred_element_type=jnp.float32)
+            attn = mm(ctx, outw_ref, l, os_)
             x = x + attn + outb_ref[l].astype(jnp.float32)  # residual 1
             h = ln(x, ln2w_ref[l], ln2b_ref[l]).astype(x_ref.dtype)
-            hid = jnp.dot(h, fc1w_ref[l], preferred_element_type=jnp.float32)
+            hid = mm(h, fc1w_ref, l, f1s)
             hid = hid + fc1b_ref[l].astype(jnp.float32)
             hid = _gelu_fast(hid)
-            mlp = jnp.dot(hid.astype(x_ref.dtype), fc2w_ref[l],
-                          preferred_element_type=jnp.float32)
+            mlp = mm(hid.astype(x_ref.dtype), fc2w_ref, l, f2s)
             x = x + mlp + fc2b_ref[l].astype(jnp.float32)  # residual 2
         o_ref[img] = x.astype(o_ref.dtype)
 
@@ -129,13 +145,23 @@ FUSED_BLOCK_MAX_WEIGHT_BYTES = 28 << 20
 
 def _group_call(x: jax.Array, g, config: ViTConfig, depth: int,
                 images_per_cell: int, interpret: bool) -> jax.Array:
-    """pallas_call for ``depth`` layers; ``g`` leaves carry a [depth] axis."""
+    """pallas_call for ``depth`` layers; ``g`` leaves carry a [depth] axis.
+
+    Matmul weight leaves may be int8 quantized dicts ({"q", "scale"},
+    models/quant layout) — the kernel then keeps int8 residency in VMEM
+    (half the footprint) and applies the per-channel scales as fp32
+    matmul epilogues.
+    """
+    from ..models import quant
+
     b, t, d = x.shape
     hdim = config.hidden_dim
+    quantized = quant.is_quantized(g["qkv_w"])
 
     kernel = functools.partial(
         _block_kernel, num_heads=config.num_heads, head_dim=config.head_dim,
         eps=config.eps, images_per_cell=images_per_cell, depth=depth,
+        quantized=quantized,
     )
 
     def whole(shape):
@@ -143,22 +169,42 @@ def _group_call(x: jax.Array, g, config: ViTConfig, depth: int,
         return pl.BlockSpec(shape, lambda i, _z=zeros: _z)
 
     L = depth
+    wdtype_bytes = 1 if quantized else x.dtype.itemsize
     # Weight residency scales with the group; leave activation headroom.
-    wbytes = L * (d * 3 * d + d * d + 2 * d * hdim) * x.dtype.itemsize
+    wbytes = L * (d * 3 * d + d * d + 2 * d * hdim) * wdtype_bytes
     vmem_limit = min(max(64 << 20, wbytes + (32 << 20)), 110 << 20)
+
+    def wmat(key):
+        return g[key]["q"] if quantized else g[key].astype(x.dtype)
+
+    in_specs = [
+        pl.BlockSpec((images_per_cell, t, d), lambda i: (i, 0, 0)),
+        whole((L, d)), whole((L, d)),             # ln1 w/b
+        whole((L, d, 3 * d)), whole((L, 3 * d)),  # qkv w/b
+        whole((L, d, d)), whole((L, d)),          # out w/b
+        whole((L, d)), whole((L, d)),             # ln2 w/b
+        whole((L, d, hdim)), whole((L, hdim)),    # fc1 w/b
+        whole((L, hdim, d)), whole((L, d)),       # fc2 w/b
+    ]
+    operands = [
+        x,
+        g["ln1_w"], g["ln1_b"],
+        wmat("qkv_w"), g["qkv_b"],
+        wmat("out_w"), g["out_b"],
+        g["ln2_w"], g["ln2_b"],
+        wmat("fc1_w"), g["fc1_b"],
+        wmat("fc2_w"), g["fc2_b"],
+    ]
+    if quantized:
+        in_specs += [whole((L, 1, 3 * d)), whole((L, 1, d)),
+                     whole((L, 1, hdim)), whole((L, 1, d))]
+        operands += [g["qkv_w"]["scale"], g["out_w"]["scale"],
+                     g["fc1_w"]["scale"], g["fc2_w"]["scale"]]
 
     return pl.pallas_call(
         kernel,
         grid=(b // images_per_cell,),
-        in_specs=[
-            pl.BlockSpec((images_per_cell, t, d), lambda i: (i, 0, 0)),
-            whole((L, d)), whole((L, d)),             # ln1 w/b
-            whole((L, d, 3 * d)), whole((L, 3 * d)),  # qkv w/b
-            whole((L, d, d)), whole((L, d)),          # out w/b
-            whole((L, d)), whole((L, d)),             # ln2 w/b
-            whole((L, d, hdim)), whole((L, hdim)),    # fc1 w/b
-            whole((L, hdim, d)), whole((L, d)),       # fc2 w/b
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((images_per_cell, t, d), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, t, d), x.dtype),
         compiler_params=pltpu.CompilerParams(
@@ -166,15 +212,7 @@ def _group_call(x: jax.Array, g, config: ViTConfig, depth: int,
             vmem_limit_bytes=vmem_limit,
         ),
         interpret=interpret,
-    )(
-        x,
-        g["ln1_w"], g["ln1_b"],
-        g["qkv_w"].astype(x.dtype), g["qkv_b"],
-        g["out_w"].astype(x.dtype), g["out_b"],
-        g["ln2_w"], g["ln2_b"],
-        g["fc1_w"].astype(x.dtype), g["fc1_b"],
-        g["fc2_w"].astype(x.dtype), g["fc2_b"],
-    )
+    )(*operands)
 
 
 def fused_encoder_layer(
