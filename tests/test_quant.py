@@ -94,3 +94,22 @@ def test_int8_fused_layer_matches_per_op():
                         compute_dtype=jnp.float32,
                         kernels=vit.resolve_kernels("flash"))
     np.testing.assert_allclose(np.asarray(probs), np.asarray(ref), atol=1e-5)
+
+
+def test_int8_stack_kernel_matches_per_op():
+    """int8 weights through the whole-encoder stack kernel (small models:
+    int8 stack residency + scale epilogues) vs the per-op quantized path."""
+    from vit_with_opencl_tpu import ViTConfig
+
+    cfg = ViTConfig(name="q8stk", img_size=32, patch_size=8, embed_dim=64,
+                    depth=3, num_heads=4, num_classes=9)
+    params_named = fixtures.random_params(cfg, seed=6, scale=0.05)
+    images = fixtures.random_images(cfg, n=4, seed=6)
+    stacked = vit.stack_params(params_named, cfg, param_dtype=jnp.float32)
+    qp = quant.quantize_stacked_params(stacked, cfg)
+    ref = vit.forward(jnp.asarray(images), qp, cfg, compute_dtype=jnp.float32,
+                      kernels=vit.resolve_kernels("xla"))
+    probs = vit.forward(jnp.asarray(images), qp, cfg,
+                        compute_dtype=jnp.float32,
+                        kernels=vit.resolve_kernels("flash"))
+    np.testing.assert_allclose(np.asarray(probs), np.asarray(ref), atol=1e-5)

@@ -435,8 +435,7 @@ def encoder(x: jax.Array, params: Params, config: ViTConfig,
                 x, params["layers"], config, group_size=gs,
                 images_per_cell=kernels.get("fused_block_ipc"),
             )
-        if not quantized and fused_block.supports_stack(
-                config, dtype_bytes=wdtype_bytes):
+        if fused_block.supports_stack(config, dtype_bytes=wdtype_bytes):
             # Small models: the COMPLETE weight stack fits VMEM — run every
             # layer in one launch (no inter-layer HBM round trips at all).
             return fused_block.fused_encoder_stack(

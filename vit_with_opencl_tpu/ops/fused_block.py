@@ -311,9 +311,9 @@ def supports(config: ViTConfig, dtype_bytes: int = 2) -> bool:
 
 def _stack_kernel(
     x_ref, ln1w_ref, ln1b_ref, qkvw_ref, qkvb_ref, outw_ref, outb_ref,
-    ln2w_ref, ln2b_ref, fc1w_ref, fc1b_ref, fc2w_ref, fc2b_ref, o_ref,
-    *, depth: int, num_heads: int, head_dim: int, eps: float,
-    images_per_cell: int, seq_len: int,
+    ln2w_ref, ln2b_ref, fc1w_ref, fc1b_ref, fc2w_ref, fc2b_ref, *rest,
+    depth: int, num_heads: int, head_dim: int, eps: float,
+    images_per_cell: int, seq_len: int, quantized: bool = False,
 ):
     """All layers, with the cell's images MERGED into the GEMM M dimension.
 
@@ -326,10 +326,22 @@ def _stack_kernel(
     columns are masked in the attention softmax; padded query rows carry
     garbage in their own rows only and are sliced off outside.
     """
+    if quantized:
+        qkvs_ref, outs_ref, fc1s_ref, fc2s_ref, o_ref = rest
+    else:
+        (o_ref,) = rest
+        qkvs_ref = outs_ref = fc1s_ref = fc2s_ref = None
     scale = float(1.0 / np.sqrt(head_dim))
     ipc = images_per_cell
     t_pad = x_ref.shape[1]
     d = num_heads * head_dim
+
+    def mm(h, w_ref, l, s_ref):
+        acc = jnp.dot(h, w_ref[l].astype(h.dtype),
+                      preferred_element_type=jnp.float32)
+        if s_ref is not None:
+            acc = acc * s_ref[l]  # [1, out] fp32 epilogue
+        return acc
 
     neg = None
     if t_pad != seq_len:
@@ -347,7 +359,7 @@ def _stack_kernel(
     x = x_ref[...].reshape(ipc * t_pad, d).astype(jnp.float32)
     for l in range(depth):  # static unroll: weights stay VMEM-resident
         h = ln(x, ln1w_ref[l], ln1b_ref[l]).astype(x_ref.dtype)
-        qkv = jnp.dot(h, qkvw_ref[l], preferred_element_type=jnp.float32)
+        qkv = mm(h, qkvw_ref, l, qkvs_ref)
         qkv = (qkv + qkvb_ref[l].astype(jnp.float32)).astype(x_ref.dtype)
         ctx_rows = []
         for img in range(ipc):
@@ -364,14 +376,13 @@ def _stack_kernel(
                 ctx_parts.append(o.astype(x_ref.dtype))
             ctx_rows.append(jnp.concatenate(ctx_parts, axis=-1))
         ctx = jnp.concatenate(ctx_rows, axis=0)  # [ipc*t_pad, D]
-        attn = jnp.dot(ctx, outw_ref[l], preferred_element_type=jnp.float32)
+        attn = mm(ctx, outw_ref, l, outs_ref)
         x = x + attn + outb_ref[l].astype(jnp.float32)
         h = ln(x, ln2w_ref[l], ln2b_ref[l]).astype(x_ref.dtype)
-        hid = jnp.dot(h, fc1w_ref[l], preferred_element_type=jnp.float32)
+        hid = mm(h, fc1w_ref, l, fc1s_ref)
         hid = hid + fc1b_ref[l].astype(jnp.float32)
         hid = _gelu_fast(hid)
-        mlp = jnp.dot(hid.astype(x_ref.dtype), fc2w_ref[l],
-                      preferred_element_type=jnp.float32)
+        mlp = mm(hid.astype(x_ref.dtype), fc2w_ref, l, fc2s_ref)
         x = x + mlp + fc2b_ref[l].astype(jnp.float32)
     o_ref[...] = x.reshape(ipc, t_pad, d).astype(o_ref.dtype)
 
@@ -419,9 +430,13 @@ def fused_encoder_stack(
     if t_pad != t:
         x = jnp.pad(x, ((0, 0), (0, t_pad - t), (0, 0)))
 
+    from ..models import quant
+
+    quantized = quant.is_quantized(layers["qkv_w"])
+
     kernel = functools.partial(
         _stack_kernel, depth=L, num_heads=nh, head_dim=hd, eps=config.eps,
-        images_per_cell=images_per_cell, seq_len=t,
+        images_per_cell=images_per_cell, seq_len=t, quantized=quantized,
     )
 
     def whole(shape):
@@ -430,21 +445,41 @@ def fused_encoder_stack(
 
     # VMEM limit scales with the resident weight stack (Tiny fits the 64 MB
     # default comfortably; larger stacks need headroom for activations too).
-    wbytes = L * (d * 3 * d + d * d + 2 * d * hdim) * x.dtype.itemsize
+    wdtype_bytes = 1 if quantized else x.dtype.itemsize
+    wbytes = L * (d * 3 * d + d * d + 2 * d * hdim) * wdtype_bytes
     vmem_limit = min(max(64 << 20, wbytes + (32 << 20)), 110 << 20)
+
+    def wmat(key):
+        return layers[key]["q"] if quantized else layers[key].astype(x.dtype)
+
+    in_specs = [
+        pl.BlockSpec((images_per_cell, t_pad, d), lambda i: (i, 0, 0)),
+        whole((L, d)), whole((L, d)),            # ln1 w/b
+        whole((L, d, 3 * d)), whole((L, 3 * d)),  # qkv w/b
+        whole((L, d, d)), whole((L, d)),          # out w/b
+        whole((L, d)), whole((L, d)),             # ln2 w/b
+        whole((L, d, hdim)), whole((L, hdim)),    # fc1 w/b
+        whole((L, hdim, d)), whole((L, d)),       # fc2 w/b
+    ]
+    operands = [
+        x,
+        layers["ln1_w"], layers["ln1_b"],
+        wmat("qkv_w"), layers["qkv_b"],
+        wmat("out_w"), layers["out_b"],
+        layers["ln2_w"], layers["ln2_b"],
+        wmat("fc1_w"), layers["fc1_b"],
+        wmat("fc2_w"), layers["fc2_b"],
+    ]
+    if quantized:
+        in_specs += [whole((L, 1, 3 * d)), whole((L, 1, d)),
+                     whole((L, 1, hdim)), whole((L, 1, d))]
+        operands += [layers["qkv_w"]["scale"], layers["out_w"]["scale"],
+                     layers["fc1_w"]["scale"], layers["fc2_w"]["scale"]]
 
     out = pl.pallas_call(
         kernel,
         grid=(b // images_per_cell,),
-        in_specs=[
-            pl.BlockSpec((images_per_cell, t_pad, d), lambda i: (i, 0, 0)),
-            whole((L, d)), whole((L, d)),            # ln1 w/b
-            whole((L, d, 3 * d)), whole((L, 3 * d)),  # qkv w/b
-            whole((L, d, d)), whole((L, d)),          # out w/b
-            whole((L, d)), whole((L, d)),             # ln2 w/b
-            whole((L, d, hdim)), whole((L, hdim)),    # fc1 w/b
-            whole((L, hdim, d)), whole((L, d)),       # fc2 w/b
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((images_per_cell, t_pad, d), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, t_pad, d), x.dtype),
         compiler_params=pltpu.CompilerParams(
@@ -452,15 +487,7 @@ def fused_encoder_stack(
             vmem_limit_bytes=vmem_limit,
         ),
         interpret=interpret,
-    )(
-        x,
-        layers["ln1_w"], layers["ln1_b"],
-        layers["qkv_w"].astype(x.dtype), layers["qkv_b"],
-        layers["out_w"].astype(x.dtype), layers["out_b"],
-        layers["ln2_w"], layers["ln2_b"],
-        layers["fc1_w"].astype(x.dtype), layers["fc1_b"],
-        layers["fc2_w"].astype(x.dtype), layers["fc2_b"],
-    )
+    )(*operands)
     return out[:, :t] if t_pad != t else out
 
 
