@@ -13,6 +13,7 @@ import sys
 CONFIGS = [
     # (config, batch, iters)
     ("vit_b_16_224", 256, 50),
+    ("vit_s_16_224", 512, 30),
     ("vit_l_16_384", 64, 20),
     ("vit_tiny_16_224", 1024, 30),
     ("deit_b_16_224", 256, 30),

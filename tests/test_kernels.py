@@ -439,6 +439,24 @@ def test_packed_inference_long_seq_routes_blockwise():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+def test_blockwise_fwd_t8192():
+    """T=8192 forward through the blockwise (online-softmax) route — the
+    regime the reference's seq<=256 kernel (multihead.cl:81-83) could never
+    reach; keeps the long-context claim honest at real scale."""
+    from vit_with_opencl_tpu.ops.attention import (
+        _packed_reference_math,
+        packed_fused_attention,
+    )
+
+    r = rng()
+    nh, hd, t = 1, 64, 8192
+    qkv = jnp.asarray((r.standard_normal((1, t, 3 * nh * hd)) * 0.2)
+                      .astype(np.float32))
+    out = packed_fused_attention(qkv, num_heads=nh, head_dim=hd)
+    ref = _packed_reference_math(qkv, nh, hd)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+
 @pytest.mark.parametrize("t", [2048, 4096])
 def test_blockwise_bwd_long_seq_grads(t):
     """Long-sequence training gradients: the blockwise custom-VJP route
