@@ -125,3 +125,27 @@ def test_resolve_kernels_tuning_override():
     # No tuning → the raw function with its internal heuristic.
     kern_default = vit.resolve_kernels("flash")
     assert not hasattr(kern_default["attention_packed"], "keywords")
+
+
+def test_attribute_forward_substitution():
+    """Substitution attribution runs the real fused forward plus three
+    substituted variants and returns consistent shares."""
+    from vit_with_opencl_tpu import ViTConfig
+    from vit_with_opencl_tpu.harness import fixtures
+    from vit_with_opencl_tpu.models import vit
+    from vit_with_opencl_tpu.perf import profiler
+
+    cfg = ViTConfig(name="attr", img_size=32, patch_size=8, embed_dim=64,
+                    depth=2, num_heads=4, num_classes=9)
+    params = fixtures.random_params(cfg, seed=7, scale=0.05)
+    stacked = vit.stack_params(params, cfg, param_dtype=jnp.float32)
+    images = jnp.asarray(fixtures.random_images(cfg, n=4, seed=7))
+    a = profiler.attribute_forward(cfg, stacked, images,
+                                   compute_dtype=jnp.float32, iters=1)
+    assert a["total_ms"] > 0 and a["gemm_skeleton_ms"] > 0
+    for k in ("gelu_share", "softmax_share", "vpu_share"):
+        assert 0.0 <= a[k] <= 1.0
+    # the patched functions must be restored afterwards
+    from vit_with_opencl_tpu.ops import attention, fused_block
+    assert fused_block._gelu_fast.__name__ == "_gelu_fast"
+    assert attention._head_attention.__name__ == "_head_attention"

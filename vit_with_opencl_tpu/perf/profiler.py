@@ -181,6 +181,78 @@ def format_profile(stages: List[OpProfile], batch: int) -> str:
     return "\n".join(lines)
 
 
+def attribute_forward(
+    config: ViTConfig,
+    params: Dict[str, Any],
+    images: jax.Array,
+    *,
+    compute_dtype=jnp.bfloat16,
+    iters: int = 10,
+) -> Dict[str, float]:
+    """Substitution-based attribution of the REAL fused forward pass.
+
+    ``profile_ops`` times stages in isolation, which double-counts dispatch
+    and HBM boundary traffic the fused model never pays. This measures the
+    full jitted forward (flash/fused kernels), then re-times it with
+    targeted substitutions compiled in — erf-GELU → identity, attention
+    softmax → constant row scale (both GEMMs kept) — and attributes each
+    component as the timing delta. The substituted programs produce WRONG
+    outputs by construction; only wall clock is read.
+
+    Returns ms/batch for: ``total``, ``gelu`` (share removed by identity
+    GELU), ``softmax``, ``gemm_skeleton`` (both substitutions applied — the
+    pure-GEMM bound of the kernel geometry), plus ``*_share`` fractions.
+    """
+    from ..ops import attention as attn_mod
+    from ..ops import fused_block
+
+    kernels = vit.resolve_kernels("flash")
+
+    def timed(gelu_identity: bool, softmax_identity: bool) -> float:
+        real_gelu = fused_block._gelu_fast
+        real_head = attn_mod._head_attention
+        if gelu_identity:
+            fused_block._gelu_fast = lambda v: v
+        if softmax_identity:
+            def fake_head(q, k, v, scale, neg=None):
+                qs = q * jnp.asarray(scale, q.dtype)
+                s = jax.lax.dot_general(
+                    qs, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                o = jax.lax.dot(
+                    (s * (1.0 / s.shape[1])).astype(v.dtype), v,
+                    preferred_element_type=jnp.float32,
+                )
+                return o, s
+
+            attn_mod._head_attention = fake_head
+        try:
+            fwd = jax.jit(
+                lambda im, p: vit.forward(im, p, config,
+                                          compute_dtype=compute_dtype,
+                                          kernels=kernels)
+            )
+            return _time_op(fwd, (images, params), iters) / iters
+        finally:
+            fused_block._gelu_fast = real_gelu
+            attn_mod._head_attention = real_head
+
+    total = timed(False, False)
+    no_gelu = timed(True, False)
+    no_softmax = timed(False, True)
+    skeleton = timed(True, True)
+    return {
+        "total_ms": total,
+        "gelu_ms": max(0.0, total - no_gelu),
+        "softmax_ms": max(0.0, total - no_softmax),
+        "gemm_skeleton_ms": skeleton,
+        "gelu_share": max(0.0, 1.0 - no_gelu / total),
+        "softmax_share": max(0.0, 1.0 - no_softmax / total),
+        "vpu_share": max(0.0, 1.0 - skeleton / total),
+    }
+
+
 @contextlib.contextmanager
 def trace(log_dir: str = "/tmp/jax-trace"):
     """XLA profiler trace around a block (view with xprof/tensorboard)."""
