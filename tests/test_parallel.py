@@ -403,3 +403,19 @@ def test_multihost_initialize_env_forwarding(monkeypatch):
     # Explicit args beat env vars.
     multihost.initialize("10.9.9.9:1234", 2, 1)
     assert calls[-1] == ("10.9.9.9:1234", 2, 1)
+
+
+def test_pp_interleave_layout_mismatch_raises():
+    """Params laid out for one interleave factor must not silently run a
+    different schedule (the layer order would be wrong)."""
+    from vit_with_opencl_tpu.parallel import pipeline
+
+    cfg = CFG
+    named = fixtures.random_params(cfg, seed=8, scale=0.05)
+    stacked = vit.stack_params(named, cfg, param_dtype=jnp.float32)
+    mesh = pipeline.make_pipe_mesh(2)
+    sharded = pipeline.shard_params_pp(stacked, mesh, cfg, interleave=1)
+    images = jnp.asarray(fixtures.random_images(cfg, n=4, seed=8))
+    with pytest.raises(ValueError, match="interleave"):
+        pipeline.pp_forward(images, sharded, cfg, mesh,
+                            n_microbatches=2, interleave=2)

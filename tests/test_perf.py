@@ -99,7 +99,10 @@ def test_tune_and_save_then_engine_consumes(tmp_path):
         CFG, 4, dtype=jnp.float32, path=path, timer=fake_timer
     )
     assert result["attention_ipc"] >= 1
-    assert "fused_block_ipc" in result  # CFG fits the fused block
+    # CFG's whole stack fits VMEM, so the sweep targets the production
+    # path for it — the whole-encoder STACK kernel, not the per-layer one.
+    assert "fused_stack_ipc" in result
+    assert "fused_block_ipc" not in result
     saved = autotune.lookup(CFG, 4, jnp.float32, path=path)
     assert saved["attention_ipc"] == result["attention_ipc"]
     assert autotune.lookup(CFG, 999, jnp.float32, path=path) == {}
@@ -119,9 +122,11 @@ def test_tune_and_save_then_engine_consumes(tmp_path):
 
 def test_resolve_kernels_tuning_override():
     kern = vit.resolve_kernels("flash", tuning={"attention_ipc": 2,
-                                                "fused_block_ipc": 4})
+                                                "fused_block_ipc": 4,
+                                                "fused_stack_ipc": 2})
     assert kern["attention_packed"].keywords["images_per_cell"] == 2
     assert kern["fused_block_ipc"] == 4
+    assert kern["fused_stack_ipc"] == 2
     # No tuning → the raw function with its internal heuristic.
     kern_default = vit.resolve_kernels("flash")
     assert not hasattr(kern_default["attention_packed"], "keywords")
@@ -149,3 +154,25 @@ def test_attribute_forward_substitution():
     from vit_with_opencl_tpu.ops import attention, fused_block
     assert fused_block._gelu_fast.__name__ == "_gelu_fast"
     assert attention._head_attention.__name__ == "_head_attention"
+
+
+def test_lookup_ignores_other_device_and_bad_cache(tmp_path):
+    """Tuning winners are hardware-specific: entries recorded on another
+    device are ignored, and a malformed cache never raises."""
+    import json
+
+    from vit_with_opencl_tpu.perf import autotune
+
+    path = tmp_path / "tuning.json"
+    key = autotune.tuning_key(CFG, 4, jnp.float32)
+    autotune.save_tuning(path, key, {"attention_ipc": 2,
+                                     "device": "TPU v99 imaginary"})
+    assert autotune.lookup(CFG, 4, jnp.float32, path=path) == {}
+
+    # same-device (or untagged legacy) entries are honored
+    autotune.save_tuning(path, key, {"attention_ipc": 2})
+    assert autotune.lookup(CFG, 4, jnp.float32,
+                           path=path)["attention_ipc"] == 2
+
+    path.write_text(json.dumps([1, 2, 3]))  # foreign/truncated file
+    assert autotune.lookup(CFG, 4, jnp.float32, path=path) == {}

@@ -367,6 +367,10 @@ def resolve_kernels(attention_impl: str = "xla",
         kernels["_fused_block_if_supported"] = True
         if tuning.get("fused_block_ipc"):
             kernels["fused_block_ipc"] = int(tuning["fused_block_ipc"])
+        if tuning.get("fused_stack_ipc"):
+            # Separate knob: the whole-encoder stack kernel has its own
+            # measured optimum (the per-layer winner would regress it).
+            kernels["fused_stack_ipc"] = int(tuning["fused_stack_ipc"])
     elif attention_impl != "xla":
         raise ValueError(f"unknown attention_impl {attention_impl!r}")
     return kernels
@@ -440,7 +444,7 @@ def encoder(x: jax.Array, params: Params, config: ViTConfig,
             # layer in one launch (no inter-layer HBM round trips at all).
             return fused_block.fused_encoder_stack(
                 x, params["layers"], config,
-                images_per_cell=kernels.get("fused_block_ipc"),
+                images_per_cell=kernels.get("fused_stack_ipc"),
             )
         if fused_block.supports(config, dtype_bytes=wdtype_bytes):
             import functools as _ft

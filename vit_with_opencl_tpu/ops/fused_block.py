@@ -30,19 +30,6 @@ from ..config import ViTConfig
 from . import attention
 
 
-def _erf_approx(x):
-    """Abramowitz & Stegun 7.1.26 rational erf approximation (|err| <= 1.5e-7
-    absolute — far below bf16 noise). Mosaic has no erf primitive; this uses
-    only mul/add/exp, all supported in Pallas TPU kernels."""
-    a1, a2, a3 = 0.254829592, -0.284496736, 1.421413741
-    a4, a5, p = -1.453152027, 1.061405429, 0.3275911
-    sign = jnp.sign(x)
-    ax = jnp.abs(x)
-    t = 1.0 / (1.0 + p * ax)
-    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
-    return sign * (1.0 - poly * jnp.exp(-ax * ax))
-
-
 # Minimax-fitted odd polynomial inside tanh: GELU(x) = 0.5x(1+tanh(x P(x^2))).
 # tanh absorbs the CDF saturation, so 5 coefficients reach |err| <= 3.4e-6 on
 # all of R (strictly positive P keeps the tails exact); fit in
@@ -65,6 +52,69 @@ def _gelu_fast(x):
     return 0.5 * x * (1.0 + jnp.tanh(x * p))
 
 
+def _whole(shape):
+    """BlockSpec for a whole (grid-constant) operand — weights stay resident
+    across the batch grid via the constant index map."""
+    zeros = (0,) * len(shape)
+    return pl.BlockSpec(shape, lambda i, _z=zeros: _z)
+
+
+def _mm(h, w_ref, l, s_ref):
+    """Matmul against layer ``l`` of a resident weight ref; int8 weights are
+    cast into the MXU dtype and the per-output-channel fp32 scale (if any)
+    is applied to the accumulator (models/quant.matmul_q semantics)."""
+    acc = jnp.dot(h, w_ref[l].astype(h.dtype),
+                  preferred_element_type=jnp.float32)
+    if s_ref is not None:
+        acc = acc * s_ref[l]  # [1, out] fp32 epilogue
+    return acc
+
+
+def _ln(xf, w, b, eps):
+    """fp32 LayerNorm with E[x^2]-E[x]^2 statistics (reference semantics)."""
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean
+    inv = jax.lax.rsqrt(var + eps)
+    return (xf - mean) * inv * w.astype(jnp.float32) + b.astype(jnp.float32)
+
+
+def _vmem_limit(L: int, d: int, hdim: int, wdtype_bytes: int) -> int:
+    """Scoped-VMEM budget: the resident weight set plus activation headroom."""
+    wbytes = L * (d * 3 * d + d * d + 2 * d * hdim) * wdtype_bytes
+    return min(max(64 << 20, wbytes + (32 << 20)), 110 << 20)
+
+
+def _weight_specs_operands(g, L: int, d: int, hdim: int, x, quantized: bool):
+    """The 12 weight/bias specs+operands shared by every fused kernel,
+    plus the four per-channel scale refs when ``g`` holds int8 dicts."""
+    specs = [
+        _whole((L, d)), _whole((L, d)),             # ln1 w/b
+        _whole((L, d, 3 * d)), _whole((L, 3 * d)),  # qkv w/b
+        _whole((L, d, d)), _whole((L, d)),          # out w/b
+        _whole((L, d)), _whole((L, d)),             # ln2 w/b
+        _whole((L, d, hdim)), _whole((L, hdim)),    # fc1 w/b
+        _whole((L, hdim, d)), _whole((L, d)),       # fc2 w/b
+    ]
+
+    def wmat(key):
+        return g[key]["q"] if quantized else g[key].astype(x.dtype)
+
+    operands = [
+        g["ln1_w"], g["ln1_b"],
+        wmat("qkv_w"), g["qkv_b"],
+        wmat("out_w"), g["out_b"],
+        g["ln2_w"], g["ln2_b"],
+        wmat("fc1_w"), g["fc1_b"],
+        wmat("fc2_w"), g["fc2_b"],
+    ]
+    if quantized:
+        specs += [_whole((L, 1, 3 * d)), _whole((L, 1, d)),
+                  _whole((L, 1, hdim)), _whole((L, 1, d))]
+        operands += [g["qkv_w"]["scale"], g["out_w"]["scale"],
+                     g["fc1_w"]["scale"], g["fc2_w"]["scale"]]
+    return specs, operands
+
+
 def _block_kernel(
     x_ref, ln1w_ref, ln1b_ref, qkvw_ref, qkvb_ref, outw_ref, outb_ref,
     ln2w_ref, ln2b_ref, fc1w_ref, fc1b_ref, fc2w_ref, fc2b_ref, *rest,
@@ -84,31 +134,17 @@ def _block_kernel(
     scale to the fp32 accumulator (models/quant.matmul_q semantics).
     """
     if quantized:
-        qkvs_ref, outs_ref, fc1s_ref, fc2s_ref, o_ref = rest
+        qs, os_, f1s, f2s, o_ref = rest
     else:
         (o_ref,) = rest
+        qs = os_ = f1s = f2s = None
     scale = float(1.0 / np.sqrt(head_dim))
 
-    def mm(h, w_ref, l, s_ref):
-        acc = jnp.dot(h, w_ref[l].astype(h.dtype),
-                      preferred_element_type=jnp.float32)
-        if s_ref is not None:
-            acc = acc * s_ref[l]  # [1, out] fp32 epilogue
-        return acc
-
-    def ln(xf, w, b):
-        mean = jnp.mean(xf, axis=-1, keepdims=True)
-        var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean
-        inv = jax.lax.rsqrt(var + eps)
-        return (xf - mean) * inv * w.astype(jnp.float32) + b.astype(jnp.float32)
-
-    qs, os_, f1s, f2s = ((qkvs_ref, outs_ref, fc1s_ref, fc2s_ref)
-                         if quantized else (None, None, None, None))
     for img in range(images_per_cell):
         x = x_ref[img].astype(jnp.float32)  # [T, D]
         for l in range(depth):  # static unroll keeps weights VMEM-resident
-            h = ln(x, ln1w_ref[l], ln1b_ref[l]).astype(x_ref.dtype)
-            qkv = mm(h, qkvw_ref, l, qs)
+            h = _ln(x, ln1w_ref[l], ln1b_ref[l], eps).astype(x_ref.dtype)
+            qkv = _mm(h, qkvw_ref, l, qs)
             qkv = (qkv + qkvb_ref[l].astype(jnp.float32)).astype(x_ref.dtype)
             ctx_parts = []
             for hh in range(num_heads):
@@ -120,13 +156,13 @@ def _block_kernel(
                 )
                 ctx_parts.append(o.astype(x_ref.dtype))
             ctx = jnp.concatenate(ctx_parts, axis=-1)  # [T, D]
-            attn = mm(ctx, outw_ref, l, os_)
+            attn = _mm(ctx, outw_ref, l, os_)
             x = x + attn + outb_ref[l].astype(jnp.float32)  # residual 1
-            h = ln(x, ln2w_ref[l], ln2b_ref[l]).astype(x_ref.dtype)
-            hid = mm(h, fc1w_ref, l, f1s)
+            h = _ln(x, ln2w_ref[l], ln2b_ref[l], eps).astype(x_ref.dtype)
+            hid = _mm(h, fc1w_ref, l, f1s)
             hid = hid + fc1b_ref[l].astype(jnp.float32)
             hid = _gelu_fast(hid)
-            mlp = mm(hid.astype(x_ref.dtype), fc2w_ref, l, f2s)
+            mlp = _mm(hid.astype(x_ref.dtype), fc2w_ref, l, f2s)
             x = x + mlp + fc2b_ref[l].astype(jnp.float32)  # residual 2
         o_ref[img] = x.astype(o_ref.dtype)
 
@@ -164,42 +200,13 @@ def _group_call(x: jax.Array, g, config: ViTConfig, depth: int,
         quantized=quantized,
     )
 
-    def whole(shape):
-        zeros = (0,) * len(shape)
-        return pl.BlockSpec(shape, lambda i, _z=zeros: _z)
-
-    L = depth
-    wdtype_bytes = 1 if quantized else x.dtype.itemsize
-    # Weight residency scales with the group; leave activation headroom.
-    wbytes = L * (d * 3 * d + d * d + 2 * d * hdim) * wdtype_bytes
-    vmem_limit = min(max(64 << 20, wbytes + (32 << 20)), 110 << 20)
-
-    def wmat(key):
-        return g[key]["q"] if quantized else g[key].astype(x.dtype)
-
-    in_specs = [
-        pl.BlockSpec((images_per_cell, t, d), lambda i: (i, 0, 0)),
-        whole((L, d)), whole((L, d)),             # ln1 w/b
-        whole((L, d, 3 * d)), whole((L, 3 * d)),  # qkv w/b
-        whole((L, d, d)), whole((L, d)),          # out w/b
-        whole((L, d)), whole((L, d)),             # ln2 w/b
-        whole((L, d, hdim)), whole((L, hdim)),    # fc1 w/b
-        whole((L, hdim, d)), whole((L, d)),       # fc2 w/b
-    ]
-    operands = [
-        x,
-        g["ln1_w"], g["ln1_b"],
-        wmat("qkv_w"), g["qkv_b"],
-        wmat("out_w"), g["out_b"],
-        g["ln2_w"], g["ln2_b"],
-        wmat("fc1_w"), g["fc1_b"],
-        wmat("fc2_w"), g["fc2_b"],
-    ]
-    if quantized:
-        in_specs += [whole((L, 1, 3 * d)), whole((L, 1, d)),
-                     whole((L, 1, hdim)), whole((L, 1, d))]
-        operands += [g["qkv_w"]["scale"], g["out_w"]["scale"],
-                     g["fc1_w"]["scale"], g["fc2_w"]["scale"]]
+    vmem_limit = _vmem_limit(depth, d, hdim,
+                             1 if quantized else x.dtype.itemsize)
+    w_specs, w_operands = _weight_specs_operands(g, depth, d, hdim, x,
+                                                 quantized)
+    in_specs = [pl.BlockSpec((images_per_cell, t, d),
+                             lambda i: (i, 0, 0))] + w_specs
+    operands = [x] + w_operands
 
     return pl.pallas_call(
         kernel,
@@ -327,21 +334,14 @@ def _stack_kernel(
     garbage in their own rows only and are sliced off outside.
     """
     if quantized:
-        qkvs_ref, outs_ref, fc1s_ref, fc2s_ref, o_ref = rest
+        qs, os_, f1s, f2s, o_ref = rest
     else:
         (o_ref,) = rest
-        qkvs_ref = outs_ref = fc1s_ref = fc2s_ref = None
+        qs = os_ = f1s = f2s = None
     scale = float(1.0 / np.sqrt(head_dim))
     ipc = images_per_cell
     t_pad = x_ref.shape[1]
     d = num_heads * head_dim
-
-    def mm(h, w_ref, l, s_ref):
-        acc = jnp.dot(h, w_ref[l].astype(h.dtype),
-                      preferred_element_type=jnp.float32)
-        if s_ref is not None:
-            acc = acc * s_ref[l]  # [1, out] fp32 epilogue
-        return acc
 
     neg = None
     if t_pad != seq_len:
@@ -350,16 +350,10 @@ def _stack_kernel(
             jnp.float32
         )
 
-    def ln(xf, w, b):
-        mean = jnp.mean(xf, axis=-1, keepdims=True)
-        var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean
-        inv = jax.lax.rsqrt(var + eps)
-        return (xf - mean) * inv * w.astype(jnp.float32) + b.astype(jnp.float32)
-
     x = x_ref[...].reshape(ipc * t_pad, d).astype(jnp.float32)
     for l in range(depth):  # static unroll: weights stay VMEM-resident
-        h = ln(x, ln1w_ref[l], ln1b_ref[l]).astype(x_ref.dtype)
-        qkv = mm(h, qkvw_ref, l, qkvs_ref)
+        h = _ln(x, ln1w_ref[l], ln1b_ref[l], eps).astype(x_ref.dtype)
+        qkv = _mm(h, qkvw_ref, l, qs)
         qkv = (qkv + qkvb_ref[l].astype(jnp.float32)).astype(x_ref.dtype)
         ctx_rows = []
         for img in range(ipc):
@@ -376,13 +370,13 @@ def _stack_kernel(
                 ctx_parts.append(o.astype(x_ref.dtype))
             ctx_rows.append(jnp.concatenate(ctx_parts, axis=-1))
         ctx = jnp.concatenate(ctx_rows, axis=0)  # [ipc*t_pad, D]
-        attn = mm(ctx, outw_ref, l, outs_ref)
+        attn = _mm(ctx, outw_ref, l, os_)
         x = x + attn + outb_ref[l].astype(jnp.float32)
-        h = ln(x, ln2w_ref[l], ln2b_ref[l]).astype(x_ref.dtype)
-        hid = mm(h, fc1w_ref, l, fc1s_ref)
+        h = _ln(x, ln2w_ref[l], ln2b_ref[l], eps).astype(x_ref.dtype)
+        hid = _mm(h, fc1w_ref, l, f1s)
         hid = hid + fc1b_ref[l].astype(jnp.float32)
         hid = _gelu_fast(hid)
-        mlp = mm(hid.astype(x_ref.dtype), fc2w_ref, l, fc2s_ref)
+        mlp = _mm(hid.astype(x_ref.dtype), fc2w_ref, l, f2s)
         x = x + mlp + fc2b_ref[l].astype(jnp.float32)
     o_ref[...] = x.reshape(ipc, t_pad, d).astype(o_ref.dtype)
 
@@ -439,42 +433,12 @@ def fused_encoder_stack(
         images_per_cell=images_per_cell, seq_len=t, quantized=quantized,
     )
 
-    def whole(shape):
-        zeros = (0,) * len(shape)
-        return pl.BlockSpec(shape, lambda i, _z=zeros: _z)
-
-    # VMEM limit scales with the resident weight stack (Tiny fits the 64 MB
-    # default comfortably; larger stacks need headroom for activations too).
-    wdtype_bytes = 1 if quantized else x.dtype.itemsize
-    wbytes = L * (d * 3 * d + d * d + 2 * d * hdim) * wdtype_bytes
-    vmem_limit = min(max(64 << 20, wbytes + (32 << 20)), 110 << 20)
-
-    def wmat(key):
-        return layers[key]["q"] if quantized else layers[key].astype(x.dtype)
-
-    in_specs = [
-        pl.BlockSpec((images_per_cell, t_pad, d), lambda i: (i, 0, 0)),
-        whole((L, d)), whole((L, d)),            # ln1 w/b
-        whole((L, d, 3 * d)), whole((L, 3 * d)),  # qkv w/b
-        whole((L, d, d)), whole((L, d)),          # out w/b
-        whole((L, d)), whole((L, d)),             # ln2 w/b
-        whole((L, d, hdim)), whole((L, hdim)),    # fc1 w/b
-        whole((L, hdim, d)), whole((L, d)),       # fc2 w/b
-    ]
-    operands = [
-        x,
-        layers["ln1_w"], layers["ln1_b"],
-        wmat("qkv_w"), layers["qkv_b"],
-        wmat("out_w"), layers["out_b"],
-        layers["ln2_w"], layers["ln2_b"],
-        wmat("fc1_w"), layers["fc1_b"],
-        wmat("fc2_w"), layers["fc2_b"],
-    ]
-    if quantized:
-        in_specs += [whole((L, 1, 3 * d)), whole((L, 1, d)),
-                     whole((L, 1, hdim)), whole((L, 1, d))]
-        operands += [layers["qkv_w"]["scale"], layers["out_w"]["scale"],
-                     layers["fc1_w"]["scale"], layers["fc2_w"]["scale"]]
+    vmem_limit = _vmem_limit(L, d, hdim, 1 if quantized else x.dtype.itemsize)
+    w_specs, w_operands = _weight_specs_operands(layers, L, d, hdim, x,
+                                                 quantized)
+    in_specs = [pl.BlockSpec((images_per_cell, t_pad, d),
+                             lambda i: (i, 0, 0))] + w_specs
+    operands = [x] + w_operands
 
     out = pl.pallas_call(
         kernel,

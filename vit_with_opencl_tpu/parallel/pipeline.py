@@ -84,6 +84,12 @@ def shard_params_pp(params: Params, mesh: Mesh, config: ViTConfig,
         params["layers"] = jax.tree.map(
             lambda a: np.take(np.asarray(a), perm, axis=0), params["layers"]
         )
+    else:
+        params = dict(params)
+    # Layout tag: pp_forward refuses to run a schedule that doesn't match
+    # the interleave permutation these params were laid out with (a silent
+    # mismatch would reorder the encoder layers and corrupt every output).
+    params["pp_interleave"] = np.int32(interleave)
     specs = jax.tree.map(lambda _: P(), params)
     specs["layers"] = jax.tree.map(lambda _: P("pipe"), params["layers"])
     return jax.tree.map(
@@ -124,6 +130,15 @@ def pp_forward(
         raise ValueError(f"batch {b} not divisible by {n_microbatches} microbatches")
     mb = b // n_microbatches
     M, S, V = n_microbatches, n_stages, interleave
+    tag = params.get("pp_interleave")
+    laid_out = int(np.asarray(jax.device_get(tag))) if tag is not None else 1
+    if laid_out != V:
+        raise ValueError(
+            f"params were laid out by shard_params_pp(interleave="
+            f"{laid_out}) but pp_forward was called with interleave={V}; "
+            f"the layer order would be wrong — re-shard with the matching "
+            f"interleave"
+        )
     if V > 1:
         if config.depth % (S * V):
             raise ValueError(

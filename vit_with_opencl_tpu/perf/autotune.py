@@ -135,6 +135,42 @@ def tune_fused_block_ipc(
     return sweep(valid, build, (x, lp), iters=iters, timer=timer)
 
 
+def tune_fused_stack_ipc(
+    config: ViTConfig,
+    batch: int,
+    *,
+    dtype=jnp.bfloat16,
+    candidates: Sequence[int] = (2, 4),
+    iters: int = 20,
+    timer: Optional[Callable] = None,
+) -> Tuple[int, Dict[int, float]]:
+    """Sweep images-per-cell for the whole-ENCODER stack kernel — the
+    production path for configs passing supports_stack. Separate from the
+    per-layer sweep: their optima differ (stack flat-M GEMMs reward larger
+    cells; ipc=8 is excluded because its unrolled kernel compiles for ~9
+    minutes for a ~0% win)."""
+    from ..models import vit
+    from ..ops import fused_block
+
+    params = vit.cheap_stacked_params(config, dtype)
+    i = jax.lax.broadcasted_iota(
+        jnp.int32, (batch * config.num_tokens * config.embed_dim, 1), 0
+    )[:, 0]
+    x = (((i * 48271) % 1021).astype(jnp.float32) / 1021.0 - 0.5).reshape(
+        batch, config.num_tokens, config.embed_dim
+    ).astype(dtype)
+
+    def build(ipc):
+        return jax.jit(functools.partial(
+            fused_block.fused_encoder_stack, config=config,
+            images_per_cell=ipc,
+        ))
+
+    valid = [c for c in candidates if batch % c == 0]
+    return sweep(valid, build, (x, params["layers"]), iters=iters,
+                 timer=timer)
+
+
 # ---------------------------------------------------------------------------
 # Production tuning cache: the engine/daemon consult this per
 # (config, batch, dtype) key and fall back to the shipped heuristics —
@@ -156,12 +192,24 @@ def tuning_key(config: ViTConfig, batch: int, dtype) -> str:
 
 def lookup(config: ViTConfig, batch: int, dtype,
            path: str | os.PathLike | None = None) -> Dict:
-    """Saved tuning for this (config, batch, dtype), or {} if none/unreadable."""
+    """Saved tuning for this (config, batch, dtype), or {} if none/unreadable.
+
+    Entries recorded on a different device than the current one are ignored
+    — launch-config winners are hardware-specific, and a cache written on
+    one backend (e.g. a CPU debug run) must not override another's
+    heuristics. Best-effort: any malformed cache yields {}, never an error.
+    """
     try:
-        return load_tuning(path or default_tuning_path(),
-                           tuning_key(config, batch, dtype)) or {}
-    except (OSError, ValueError):
+        entry = load_tuning(path or default_tuning_path(),
+                            tuning_key(config, batch, dtype)) or {}
+    except (OSError, ValueError, AttributeError, TypeError):
         return {}
+    if not isinstance(entry, dict):
+        return {}
+    recorded = entry.get("device")
+    if recorded is not None and recorded != str(jax.devices()[0]):
+        return {}
+    return entry
 
 
 def tune_and_save(
@@ -187,7 +235,17 @@ def tune_and_save(
         "device": str(jax.devices()[0]),
         "timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
     }
-    if fused_block.supports(config, dtype_bytes=jnp.dtype(dtype).itemsize):
+    dtype_bytes = jnp.dtype(dtype).itemsize
+    if fused_block.supports_stack(config, dtype_bytes=dtype_bytes):
+        # Production path for this config is the whole-encoder stack kernel
+        # — sweep THAT (the per-layer winner would regress it).
+        st_ipc, st_table = tune_fused_stack_ipc(
+            config, batch, dtype=dtype, iters=iters, timer=timer
+        )
+        result["fused_stack_ipc"] = int(st_ipc)
+        result["fused_stack_table_ms"] = {str(k): v
+                                          for k, v in st_table.items()}
+    elif fused_block.supports(config, dtype_bytes=dtype_bytes):
         fb_ipc, fb_table = tune_fused_block_ipc(
             config, batch, dtype=dtype, iters=iters, timer=timer
         )
@@ -237,7 +295,10 @@ def load_tuning(path: str | os.PathLike, key: str) -> Optional[Dict]:
     if not os.path.exists(path):
         return None
     with open(path) as f:
-        return json.load(f).get(key)
+        data = json.load(f)
+    if not isinstance(data, dict):  # truncated/foreign file: treat as empty
+        return None
+    return data.get(key)
 
 
 if __name__ == "__main__":  # pragma: no cover — `python -m ...` convenience
