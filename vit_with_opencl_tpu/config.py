@@ -128,6 +128,17 @@ VIT_L_16_384 = ViTConfig(
     num_heads=16,
 )
 
+# ViT-H/14 (timm vit_huge_patch14_224 geometry): the scale class where
+# multi-chip parallelism (TP/PP over a mesh) becomes the deployment story —
+# 632M params, 257 tokens.
+VIT_H_14_224 = ViTConfig(
+    name="vit_h_14_224",
+    patch_size=14,
+    embed_dim=1280,
+    depth=32,
+    num_heads=16,
+)
+
 # CLIP ViT-B/16 vision tower: pre-LN before the stack, no classifier head
 # (the projection to the joint embedding space is applied outside the tower).
 CLIP_VIT_B_16 = ViTConfig(
@@ -147,7 +158,7 @@ DEIT_B_16_224 = ViTConfig(
 PRESETS = {
     c.name: c
     for c in (VIT_B_16_224, VIT_TINY_16_224, VIT_S_16_224, VIT_L_16_384,
-              CLIP_VIT_B_16, DEIT_B_16_224)
+              VIT_H_14_224, CLIP_VIT_B_16, DEIT_B_16_224)
 }
 
 
