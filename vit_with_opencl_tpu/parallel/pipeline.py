@@ -86,15 +86,19 @@ def shard_params_pp(params: Params, mesh: Mesh, config: ViTConfig,
         )
     else:
         params = dict(params)
+    specs = jax.tree.map(lambda _: P(), params)
+    specs["layers"] = jax.tree.map(lambda _: P("pipe"), params["layers"])
+    out = jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
+    )
     # Layout tag: pp_forward refuses to run a schedule that doesn't match
     # the interleave permutation these params were laid out with (a silent
     # mismatch would reorder the encoder layers and corrupt every output).
-    params["pp_interleave"] = np.int32(interleave)
-    specs = jax.tree.map(lambda _: P(), params)
-    specs["layers"] = jax.tree.map(lambda _: P("pipe"), params["layers"])
-    return jax.tree.map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
-    )
+    # Kept HOST-side (added after the device_put) so reading it back never
+    # costs a device fetch — on tunneled runtimes a blocking device_get per
+    # pp_forward call would serialize otherwise-queueable dispatches.
+    out["pp_interleave"] = np.int32(interleave)
+    return out
 
 
 def pp_forward(
@@ -131,7 +135,12 @@ def pp_forward(
     mb = b // n_microbatches
     M, S, V = n_microbatches, n_stages, interleave
     tag = params.get("pp_interleave")
-    laid_out = int(np.asarray(jax.device_get(tag))) if tag is not None else 1
+    if tag is None:
+        laid_out = 1
+    elif isinstance(tag, (int, np.integer)):
+        laid_out = int(tag)  # host-side tag: free to read
+    else:  # device-resident tag from an older shard_params_pp tree
+        laid_out = int(np.asarray(jax.device_get(tag)))
     if laid_out != V:
         raise ValueError(
             f"params were laid out by shard_params_pp(interleave="

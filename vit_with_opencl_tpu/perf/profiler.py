@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import contextlib
 import dataclasses
+import threading
 import time
 from typing import Any, Callable, Dict, List
 
@@ -202,55 +203,77 @@ def attribute_forward(
     Returns ms/batch for: ``total``, ``gelu`` (share removed by identity
     GELU), ``softmax``, ``gemm_skeleton`` (both substitutions applied — the
     pure-GEMM bound of the kernel geometry), plus ``*_share`` fractions.
+
+    The substitutions temporarily swap module-level kernels
+    (``fused_block._gelu_fast``, ``attention._head_attention``) while the
+    probe programs trace — any CONCURRENT trace in the same process (the
+    serving daemon, a parallel profile) would silently compile the
+    wrong-math substitutes into unrelated programs. A process-wide lock
+    therefore guards this function and rejects re-entry instead of
+    corrupting a bystander's compile.
     """
     from ..ops import attention as attn_mod
     from ..ops import fused_block
 
-    kernels = vit.resolve_kernels("flash")
+    if not _ATTRIBUTION_LOCK.acquire(blocking=False):
+        raise RuntimeError(
+            "attribute_forward is already running in this process; its "
+            "kernel substitutions are process-global during tracing, so "
+            "concurrent use would compile wrong-math kernels into other "
+            "programs. Profile one model at a time."
+        )
+    try:
+        kernels = vit.resolve_kernels("flash")
 
-    def timed(gelu_identity: bool, softmax_identity: bool) -> float:
-        real_gelu = fused_block._gelu_fast
-        real_head = attn_mod._head_attention
-        if gelu_identity:
-            fused_block._gelu_fast = lambda v: v
-        if softmax_identity:
-            def fake_head(q, k, v, scale, neg=None):
-                qs = q * jnp.asarray(scale, q.dtype)
-                s = jax.lax.dot_general(
-                    qs, k, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
+        def timed(gelu_identity: bool, softmax_identity: bool) -> float:
+            real_gelu = fused_block._gelu_fast
+            real_head = attn_mod._head_attention
+            if gelu_identity:
+                fused_block._gelu_fast = lambda v: v
+            if softmax_identity:
+                def fake_head(q, k, v, scale, neg=None):
+                    qs = q * jnp.asarray(scale, q.dtype)
+                    s = jax.lax.dot_general(
+                        qs, k, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    o = jax.lax.dot(
+                        (s * (1.0 / s.shape[1])).astype(v.dtype), v,
+                        preferred_element_type=jnp.float32,
+                    )
+                    return o, s
+
+                attn_mod._head_attention = fake_head
+            try:
+                fwd = jax.jit(
+                    lambda im, p: vit.forward(im, p, config,
+                                              compute_dtype=compute_dtype,
+                                              kernels=kernels)
                 )
-                o = jax.lax.dot(
-                    (s * (1.0 / s.shape[1])).astype(v.dtype), v,
-                    preferred_element_type=jnp.float32,
-                )
-                return o, s
+                return _time_op(fwd, (images, params), iters) / iters
+            finally:
+                fused_block._gelu_fast = real_gelu
+                attn_mod._head_attention = real_head
 
-            attn_mod._head_attention = fake_head
-        try:
-            fwd = jax.jit(
-                lambda im, p: vit.forward(im, p, config,
-                                          compute_dtype=compute_dtype,
-                                          kernels=kernels)
-            )
-            return _time_op(fwd, (images, params), iters) / iters
-        finally:
-            fused_block._gelu_fast = real_gelu
-            attn_mod._head_attention = real_head
+        total = timed(False, False)
+        no_gelu = timed(True, False)
+        no_softmax = timed(False, True)
+        skeleton = timed(True, True)
+        return {
+            "total_ms": total,
+            "gelu_ms": max(0.0, total - no_gelu),
+            "softmax_ms": max(0.0, total - no_softmax),
+            "gemm_skeleton_ms": skeleton,
+            "gelu_share": max(0.0, 1.0 - no_gelu / total),
+            "softmax_share": max(0.0, 1.0 - no_softmax / total),
+            "vpu_share": max(0.0, 1.0 - skeleton / total),
+        }
+    finally:
+        _ATTRIBUTION_LOCK.release()
 
-    total = timed(False, False)
-    no_gelu = timed(True, False)
-    no_softmax = timed(False, True)
-    skeleton = timed(True, True)
-    return {
-        "total_ms": total,
-        "gelu_ms": max(0.0, total - no_gelu),
-        "softmax_ms": max(0.0, total - no_softmax),
-        "gemm_skeleton_ms": skeleton,
-        "gelu_share": max(0.0, 1.0 - no_gelu / total),
-        "softmax_share": max(0.0, 1.0 - no_softmax / total),
-        "vpu_share": max(0.0, 1.0 - skeleton / total),
-    }
+
+# Guards attribute_forward's process-global kernel substitutions.
+_ATTRIBUTION_LOCK = threading.Lock()
 
 
 @contextlib.contextmanager
