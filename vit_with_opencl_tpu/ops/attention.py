@@ -34,6 +34,11 @@ from ..config import ViTConfig
 
 DEFAULT_BLOCK_Q = 128
 DEFAULT_BLOCK_K = 128
+# Ragged (unpadded) packed-attention blocks beat padded ones at @224 scale,
+# but Mosaic's relayout buffers for misaligned rows blow scoped VMEM once the
+# block is big; route by block size. Autotunable: perf/autotune measures the
+# actual crossover per (config, batch) and overrides via the kernels table.
+RAGGED_MAX_BLOCK_BYTES = 2 << 20
 # -inf would produce NaN via exp(-inf - (-inf)) on fully-masked rows.
 MASK_VALUE = -0.7 * float(np.finfo(np.float32).max)
 _LANES = 128
@@ -331,6 +336,116 @@ def _blockwise_fwd_flat(
 def flash_attention_interpret(q, k, v, config):
     """Interpreter-mode variant for CPU tests."""
     return flash_attention(q, k, v, config, interpret=True)
+
+
+# ---------------------------------------------------------------------------
+# Carry-in/carry-out blockwise forward — the ring-attention local step.
+#
+# Ring attention (ops/ring_attention.py) maintains online-softmax statistics
+# ACROSS devices while KV shards rotate. Its local step is exactly a
+# blockwise flash forward whose (m, l, acc) start from the previous
+# rotation's values instead of (-inf, 0, 0) and are emitted un-normalized.
+# With this kernel nothing [T_loc, T_loc]-shaped ever reaches HBM inside the
+# ring either — the einsum local step materialized the full local score
+# matrix, undercutting the long-context positioning.
+# ---------------------------------------------------------------------------
+
+
+def _flash_carry_kernel(
+    q_ref, k_ref, v_ref, bias_ref, m_in_ref, l_in_ref, acc_in_ref,
+    m_out_ref, l_out_ref, acc_out_ref, m_ref, l_ref, acc_ref, *,
+    scale: float, num_kv_blocks: int,
+):
+    kv_idx = pl.program_id(2)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        m_ref[...] = jnp.broadcast_to(m_in_ref[0][:, None], m_ref.shape)
+        l_ref[...] = jnp.broadcast_to(l_in_ref[0][:, None], l_ref.shape)
+        acc_ref[...] = acc_in_ref[0]
+
+    q = q_ref[0]  # [block_q, hd]
+    k = k_ref[0]  # [block_k, hd]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    # Additive per-KV-position bias: 0 for live positions, MASK_VALUE for
+    # ring padding. Computed OUTSIDE (the source-shard index is traced).
+    s = s + bias_ref[0][None, :]
+
+    m_prev = m_ref[:, 0:1]
+    l_prev = l_ref[:, 0:1]
+    m_curr = jnp.max(s, axis=1, keepdims=True)
+    m_next = jnp.maximum(m_prev, m_curr)
+    alpha = jnp.exp(m_prev - m_next)
+    p = jnp.exp(s - m_next)
+    l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+    m_ref[...] = jnp.broadcast_to(m_next, m_ref.shape)
+    l_ref[...] = jnp.broadcast_to(l_next, l_ref.shape)
+    v = v_ref[0]
+    pv = jax.lax.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    acc_ref[...] = acc_ref[...] * alpha + pv
+
+    @pl.when(kv_idx == num_kv_blocks - 1)
+    def _emit():
+        m_out_ref[0] = m_ref[:, 0]
+        l_out_ref[0] = l_ref[:, 0]
+        acc_out_ref[0] = acc_ref[...]
+
+
+def blockwise_ring_step(
+    qf: jax.Array,
+    kf: jax.Array,
+    vf: jax.Array,
+    kv_bias: jax.Array,
+    m: jax.Array,
+    l: jax.Array,
+    acc: jax.Array,
+    *,
+    scale: float,
+    block_q: int,
+    block_k: int,
+    interpret: bool | None = None,
+):
+    """One ring rotation's local attention, blockwise with carried stats.
+
+    qf/kf/vf: [n, t_loc, hd]; kv_bias: [1, t_loc] fp32 additive mask;
+    m/l: [n, t_loc] fp32; acc: [n, t_loc, hd] fp32. Returns updated
+    (m, l, acc) — un-normalized; divide acc by l after the last rotation.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n, t_loc, hd = qf.shape
+    assert t_loc % block_q == 0 and t_loc % block_k == 0, (t_loc, block_q,
+                                                          block_k)
+    kernel = functools.partial(
+        _flash_carry_kernel, scale=scale, num_kv_blocks=t_loc // block_k,
+    )
+    qspec = pl.BlockSpec((1, block_q, hd), lambda bi, qi, ki: (bi, qi, 0))
+    kspec = pl.BlockSpec((1, block_k, hd), lambda bi, qi, ki: (bi, ki, 0))
+    mspec = pl.BlockSpec((1, block_q), lambda bi, qi, ki: (bi, qi))
+    bspec = pl.BlockSpec((1, block_k), lambda bi, qi, ki: (0, ki))
+    f32 = jnp.float32
+    return pl.pallas_call(
+        kernel,
+        grid=(n, t_loc // block_q, t_loc // block_k),
+        in_specs=[qspec, kspec, kspec, bspec, mspec, mspec, qspec],
+        out_specs=[mspec, mspec, qspec],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, t_loc), f32),
+            jax.ShapeDtypeStruct((n, t_loc), f32),
+            jax.ShapeDtypeStruct((n, t_loc, hd), f32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, _LANES), f32),
+            pltpu.VMEM((block_q, _LANES), f32),
+            pltpu.VMEM((block_q, hd), f32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qf, kf, vf, kv_bias, m, l, acc)
 
 
 # ---------------------------------------------------------------------------
@@ -772,6 +887,10 @@ def packed_fused_attention(
     packing: str = "slab",
     images_per_cell: int | None = None,
     interpret: bool | None = None,
+    true_seq_len: Optional[int] = None,
+    ragged: Optional[bool] = None,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
 ) -> jax.Array:
     """Fused attention over packed QKV: [B, T, 3D] → [B, T, D].
 
@@ -780,10 +899,21 @@ def packed_fused_attention(
     multihead.cl:21-22), so no head-axis transposes or per-operand relayouts
     are materialized in HBM — the launch overhead that made the generic
     [B, H, T, hd] entry point lose to XLA einsums at 197 tokens.
+
+    ``true_seq_len``: set when the caller's token axis is ALREADY padded
+    (e.g. sequence-parallel shards gathered back to a ring-divisible
+    length): KV columns >= true_seq_len are masked out of the softmax;
+    padded query rows return garbage in their own rows only.
+
+    ``ragged``: force the unpadded (True) or padded (False) block route
+    instead of the RAGGED_MAX_BLOCK_BYTES heuristic (autotune measures the
+    real crossover per config). ``block_q``/``block_k`` tune the blockwise
+    long-sequence route.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     b, t, three_d = qkv.shape
+    seq = true_seq_len if true_seq_len is not None else t
     nh = num_heads if num_heads is not None else config.num_heads
     hd = head_dim if head_dim is not None else config.head_dim
     d = nh * hd
@@ -799,14 +929,15 @@ def packed_fused_attention(
             raise NotImplementedError(
                 "long-sequence packed attention supports slab packing only"
             )
-        t_pad = _cdiv(t, 128) * 128
+        lcm = block_q * block_k // math.gcd(block_q, block_k)
+        t_pad = _cdiv(t, lcm) * lcm
         qf, kf, vf = _packed_split(qkv, nh, hd)
         if t_pad != t:
             pad = ((0, 0), (0, t_pad - t), (0, 0))
             qf, kf, vf = jnp.pad(qf, pad), jnp.pad(kf, pad), jnp.pad(vf, pad)
         of, _ = _blockwise_fwd_flat(
-            qf, kf, vf, scale=scale, seq_len=t,
-            block_q=DEFAULT_BLOCK_Q, block_k=DEFAULT_BLOCK_K,
+            qf, kf, vf, scale=scale, seq_len=seq,
+            block_q=block_q, block_k=block_k,
             interpret=interpret, return_lse=False,
         )
         return _packed_merge(of[:, :t], b, nh, hd)
@@ -826,7 +957,8 @@ def packed_fused_attention(
     # (empirically: 577x3072 OOMs, 197x2304 is comfortable). Route by block
     # size; pad above the knee.
     qkv_block_bytes = images_per_cell * t * 3 * d * qkv.dtype.itemsize
-    ragged_ok = qkv_block_bytes <= (2 << 20)
+    ragged_ok = (ragged if ragged is not None
+                 else qkv_block_bytes <= RAGGED_MAX_BLOCK_BYTES)
     t_in = t
     if not ragged_ok:
         t_kernel = max(_cdiv(t, 128) * 128, 128)
@@ -835,7 +967,7 @@ def packed_fused_attention(
         t_in = t_kernel
 
     kernel = functools.partial(
-        _packed_kernel, scale=scale, seq_len=t, num_heads=nh, head_dim=hd,
+        _packed_kernel, scale=scale, seq_len=seq, num_heads=nh, head_dim=hd,
         images_per_cell=images_per_cell, packing=packing,
     )
     out = pl.pallas_call(

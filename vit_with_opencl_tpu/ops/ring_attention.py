@@ -30,6 +30,15 @@ from ..config import ViTConfig
 MASK_VALUE = -0.7 * float(np.finfo(np.float32).max)
 
 
+def _pick_block(t_loc: int) -> int:
+    """Largest standard flash block dividing the shard, else the whole shard
+    as one (possibly ragged) block — small shards are one-tile anyway."""
+    for cand in (512, 256, 128):
+        if t_loc % cand == 0:
+            return cand
+    return t_loc
+
+
 def ring_attention_shard(
     q: jax.Array,
     k: jax.Array,
@@ -39,6 +48,7 @@ def ring_attention_shard(
     scale: float,
     seq_len: Optional[int] = None,
     shard_tokens: Optional[int] = None,
+    impl: str = "auto",
 ) -> jax.Array:
     """Per-shard ring attention body (call inside shard_map).
 
@@ -46,13 +56,32 @@ def ring_attention_shard(
     axis is sharded over ``axis_name``. ``seq_len`` masks global positions
     >= seq_len (padding added to make T divide the ring size). Returns the
     attention output for the local query shard.
+
+    ``impl``:
+      * "blockwise" — each rotation's local step runs the Pallas
+        carry-in/carry-out flash kernel (ops/attention.blockwise_ring_step):
+        nothing [T_loc, T_loc]-shaped reaches HBM, so memory stays
+        O(T_loc · hd) regardless of sequence length — the real
+        long-context path;
+      * "einsum" — XLA einsum local step (scores materialize per rotation;
+        fine for small shards / debugging);
+      * "auto" — blockwise for shards of >= 128 tokens, einsum below.
     """
     n = jax.lax.psum(1, axis_name)
     my_idx = jax.lax.axis_index(axis_name)
     b, h, t_loc, hd = q.shape
     if shard_tokens is None:
         shard_tokens = t_loc
+    if impl == "auto":
+        impl = "blockwise" if t_loc >= 128 else "einsum"
+    if impl not in ("blockwise", "einsum"):
+        raise ValueError(f"unknown ring attention impl {impl!r}")
     perm = [(i, (i + 1) % n) for i in range(n)]
+
+    if impl == "blockwise":
+        return _ring_blockwise(q, k, v, axis_name=axis_name, scale=scale,
+                               seq_len=seq_len, shard_tokens=shard_tokens,
+                               n=n, my_idx=my_idx, perm=perm)
 
     m = jnp.full((b, h, t_loc, 1), -jnp.inf, jnp.float32)
     l = jnp.zeros((b, h, t_loc, 1), jnp.float32)
@@ -92,6 +121,51 @@ def ring_attention_shard(
     return (acc / l).astype(q.dtype)
 
 
+def _ring_blockwise(q, k, v, *, axis_name, scale, seq_len, shard_tokens,
+                    n, my_idx, perm):
+    """Ring body with the Pallas blockwise local step (carried stats)."""
+    from . import attention
+
+    b, h, t_loc, hd = q.shape
+    nf = b * h
+    block = _pick_block(t_loc)
+    qf = q.reshape(nf, t_loc, hd)
+    kf = k.reshape(nf, t_loc, hd)
+    vf = v.reshape(nf, t_loc, hd)
+    m = jnp.full((nf, t_loc), -jnp.inf, jnp.float32)
+    l = jnp.zeros((nf, t_loc), jnp.float32)
+    acc = jnp.zeros((nf, t_loc, hd), jnp.float32)
+
+    def step(carry, step_idx):
+        m, l, acc, k_blk, v_blk = carry
+        src = (my_idx - step_idx) % n
+        if seq_len is not None:
+            # Live positions of the SOURCE shard: its global slice is
+            # [src*shard_tokens, (src+1)*shard_tokens); ring padding sits at
+            # the global tail, so validity is a per-shard prefix length.
+            valid = seq_len - src * shard_tokens
+            pos = jax.lax.broadcasted_iota(jnp.int32, (1, t_loc), 1)
+            bias = jnp.where(pos < valid, 0.0, MASK_VALUE).astype(jnp.float32)
+        else:
+            bias = jnp.zeros((1, t_loc), jnp.float32)
+        m, l, acc = attention.blockwise_ring_step(
+            qf, k_blk, v_blk, bias, m, l, acc,
+            scale=scale, block_q=block, block_k=block,
+        )
+        # Rotate KV to the next device; neighbor traffic overlaps with the
+        # next step's kernel.
+        k_blk = jax.lax.ppermute(k_blk, axis_name, perm)
+        v_blk = jax.lax.ppermute(v_blk, axis_name, perm)
+        return (m, l, acc, k_blk, v_blk), None
+
+    (m, l, acc, _, _), _ = jax.lax.scan(
+        step, (m, l, acc, kf, vf), jnp.arange(n)
+    )
+    l = jnp.where(l == 0.0, 1.0, l)
+    out = acc / l[..., None]
+    return out.reshape(b, h, t_loc, hd).astype(q.dtype)
+
+
 def ring_attention(
     q: jax.Array,
     k: jax.Array,
@@ -100,6 +174,7 @@ def ring_attention(
     mesh,
     *,
     axis_name: str = "model",
+    impl: str = "auto",
 ) -> jax.Array:
     """Convenience wrapper: full [B, H, T, hd] in, ring-sharded compute.
 
@@ -123,7 +198,7 @@ def ring_attention(
     def fn(q, k, v):
         return ring_attention_shard(
             q, k, v, axis_name=axis_name, scale=scale, seq_len=t,
-            shard_tokens=t_pad // n,
+            shard_tokens=t_pad // n, impl=impl,
         )
 
     in_spec = P(None, None, axis_name, None)
@@ -134,6 +209,7 @@ def ring_attention(
             out_specs=in_spec, check_vma=False,
         ))
 
-    key = ("ring", mesh, axis_name, q.shape, jnp.dtype(q.dtype), t, scale)
+    key = ("ring", mesh, axis_name, q.shape, jnp.dtype(q.dtype), t, scale,
+           impl)
     out = _cached_program(key, build)(q, k, v)
     return out[:, :, :t] if t_pad != t else out
