@@ -52,6 +52,25 @@ def _gelu_fast(x):
     return 0.5 * x * (1.0 + jnp.tanh(x * p))
 
 
+def _gelu_fast_grad(x):
+    """Derivative of ``_gelu_fast`` (NOT of exact erf-GELU: the backward must
+    differentiate the function the forward actually computed, or gradient
+    checks against the fused forward drift by the approximation error).
+
+    g(x) = 0.5 x (1 + tanh(w)), w = x P(x^2)
+    g'(x) = 0.5 (1 + t) + 0.5 x (1 - t^2) (P(u) + 2 u P'(u)),  t = tanh(w)
+    """
+    u = x * x
+    p = jnp.float32(_GELU_P[4])
+    for c in _GELU_P[3::-1]:
+        p = p * u + jnp.float32(c)
+    dp = 4.0 * jnp.float32(_GELU_P[4])
+    for i, c in zip((3.0, 2.0, 1.0), _GELU_P[3:0:-1]):
+        dp = dp * u + i * jnp.float32(c)
+    t = jnp.tanh(x * p)
+    return 0.5 * (1.0 + t) + 0.5 * x * (1.0 - t * t) * (p + 2.0 * u * dp)
+
+
 def _whole(shape):
     """BlockSpec for a whole (grid-constant) operand — weights stay resident
     across the batch grid via the constant index map."""
@@ -174,9 +193,13 @@ def _block_kernel(
 #   D=512  6.3 MB:  +31%   (8.3k vs 6.3k img/s, 132 TF/s)
 #   D=768 14.2 MB:  +12.5% (4.1k vs 3.6k img/s, 144 TF/s = 94% measured peak)
 #   D=1024 25.2 MB @577 tokens: +10.6% (377 vs 341 img/s, 144 TF/s)
+#   D=1280 39.3 MB @257 tokens (ViT-H/14): +6.1% bf16 (418 vs 394 img/s,
+#     139.7 TF/s); int8 (19.7 MB resident): +10.2% (434 img/s, 145.2 TF/s =
+#     93% measured peak) — round-3 probe, the gate was the only blocker.
 # Round 1 assumed big models gain nothing; that was the unmeasured 4 MB gate
-# talking — whole-layer fusion wins at every size that fits VMEM.
-FUSED_BLOCK_MAX_WEIGHT_BYTES = 28 << 20
+# talking — whole-layer fusion wins at every size that fits VMEM, through
+# ViT-H's 39.3 MB (the _vmem_limit budget tops out at 110 MB scoped VMEM).
+FUSED_BLOCK_MAX_WEIGHT_BYTES = 40 << 20
 
 
 def _group_call(x: jax.Array, g, config: ViTConfig, depth: int,
@@ -489,3 +512,259 @@ def supports_stack(config: ViTConfig, dtype_bytes: int = 2) -> bool:
     d, h = config.embed_dim, config.hidden_dim
     per_layer = (d * 3 * d + d * d + d * h + h * d) * dtype_bytes
     return config.depth * per_layer <= FUSED_STACK_MAX_WEIGHT_BYTES
+
+
+# ---------------------------------------------------------------------------
+# Trainable fused layer: custom VJP with a fused rematerializing BACKWARD.
+#
+# The forward kernels above have no automatic gradient, which round 2 left as
+# the known biggest unharvested perf item: training ran the per-op XLA
+# forward, so the fused layer's +13% (ViT-B) was inference-only. This section
+# closes that: one Pallas kernel recomputes the whole layer forward from the
+# saved input x (flash-style rematerialization — the only residual is x, so
+# training activation memory per layer is ONE [B, T, D] tensor) and emits dx
+# plus every weight/bias/LN gradient. Weight grads accumulate in fp32 VMEM
+# across a sequential batch grid, the same constant-index-map residency trick
+# the forward uses for the weights themselves.
+# ---------------------------------------------------------------------------
+
+
+def _ln_fwd_stats(xf, w, b, eps):
+    """LN forward returning (normalized x̂, inv_std, out) — the backward
+    needs x̂ and inv."""
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean
+    inv = jax.lax.rsqrt(var + eps)
+    xhat = (xf - mean) * inv
+    return xhat, inv, xhat * w.astype(jnp.float32) + b.astype(jnp.float32)
+
+
+def _ln_bwd(dy, xhat, inv, w):
+    """dx for y = x̂·w + b given dy (fp32). Returns (dx, dw_rows, db_rows)
+    where dw/db still need the token-axis colsum."""
+    dxhat = dy * w.astype(jnp.float32)
+    dx = inv * (
+        dxhat
+        - jnp.mean(dxhat, axis=-1, keepdims=True)
+        - xhat * jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    )
+    return dx, dy * xhat, dy
+
+
+def _csum(x):
+    """Token-axis colsum → [1, cols] fp32 (bias/LN grad accumulant)."""
+    return jnp.sum(x, axis=0, keepdims=True)
+
+
+def _layer_bwd_kernel(
+    x_ref, do_ref, ln1w_ref, ln1b_ref, qkvw_ref, qkvb_ref, outw_ref,
+    outb_ref, ln2w_ref, ln2b_ref, fc1w_ref, fc1b_ref, fc2w_ref, fc2b_ref,
+    dx_ref, dln1w_ref, dln1b_ref, dqkvw_ref, dqkvb_ref, doutw_ref,
+    doutb_ref, dln2w_ref, dln2b_ref, dfc1w_ref, dfc1b_ref, dfc2w_ref,
+    dfc2b_ref, *,
+    num_heads: int, head_dim: int, eps: float, images_per_cell: int,
+):
+    """Fused backward for one encoder layer (depth=1 weight refs).
+
+    Recomputes the forward exactly as ``_block_kernel`` does — same casts,
+    same ``_gelu_fast``, same ``_head_attention`` — then walks the chain
+    backward per image. Nothing [T, T]-shaped or [T, H]-shaped touches HBM.
+    """
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for r in (dln1w_ref, dln1b_ref, dqkvw_ref, dqkvb_ref, doutw_ref,
+                  doutb_ref, dln2w_ref, dln2b_ref, dfc1w_ref, dfc1b_ref,
+                  dfc2w_ref, dfc2b_ref):
+            r[...] = jnp.zeros_like(r)
+
+    scale = float(1.0 / np.sqrt(head_dim))
+    cdt = x_ref.dtype
+    f32 = jnp.float32
+
+    def mm(a, bmat, contract=((1,), (1,))):
+        return jax.lax.dot_general(
+            a, bmat, (contract, ((), ())), preferred_element_type=f32
+        )
+
+    for img in range(images_per_cell):
+        x0 = x_ref[img].astype(f32)   # [T, D]
+        do = do_ref[img].astype(f32)  # [T, D]
+
+        # ---- forward recompute (mirrors _block_kernel, depth=1) ----
+        xhat1, inv1, h1 = _ln_fwd_stats(x0, ln1w_ref[0], ln1b_ref[0], eps)
+        h1c = h1.astype(cdt)
+        qkv = mm(h1c, qkvw_ref[0].astype(cdt), ((1,), (0,)))
+        qkvc = (qkv + qkvb_ref[0].astype(f32)).astype(cdt)
+        ctx_parts = []
+        for hh in range(num_heads):
+            qo, ko, vo = attention._packed_offsets("slab", hh, num_heads,
+                                                   head_dim)
+            o, _ = attention._head_attention(
+                qkvc[:, qo:qo + head_dim], qkvc[:, ko:ko + head_dim],
+                qkvc[:, vo:vo + head_dim], scale,
+            )
+            ctx_parts.append(o.astype(cdt))
+        ctx = jnp.concatenate(ctx_parts, axis=-1)  # [T, D] cdt
+        attn = mm(ctx, outw_ref[0].astype(cdt), ((1,), (0,)))
+        x2 = x0 + attn + outb_ref[0].astype(f32)
+        xhat2, inv2, h2 = _ln_fwd_stats(x2, ln2w_ref[0], ln2b_ref[0], eps)
+        h2c = h2.astype(cdt)
+        hid_pre = mm(h2c, fc1w_ref[0].astype(cdt), ((1,), (0,)))
+        hid_pre = hid_pre + fc1b_ref[0].astype(f32)  # [T, H] fp32
+        hidc = _gelu_fast(hid_pre).astype(cdt)
+
+        # ---- backward ----
+        # MLP branch: out = x2 + hid@W2 + b2
+        dmc = do.astype(cdt)
+        dfc2w_ref[...] += mm(hidc, dmc, ((0,), (0,)))[None]
+        dfc2b_ref[...] += _csum(do)
+        dhid = mm(dmc, fc2w_ref[0].astype(cdt))          # [T, H]
+        dhid_pre = dhid * _gelu_fast_grad(hid_pre)       # fp32
+        dhpc = dhid_pre.astype(cdt)
+        dfc1w_ref[...] += mm(h2c, dhpc, ((0,), (0,)))[None]
+        dfc1b_ref[...] += _csum(dhid_pre)
+        dh2 = mm(dhpc, fc1w_ref[0].astype(cdt))          # [T, D]
+        dx2_ln, dw_rows, db_rows = _ln_bwd(dh2, xhat2, inv2, ln2w_ref[0])
+        dln2w_ref[...] += _csum(dw_rows)
+        dln2b_ref[...] += _csum(db_rows)
+        dx2 = do + dx2_ln
+
+        # Attention branch: x2 = x0 + ctx@Wout + bout
+        dac = dx2.astype(cdt)
+        doutw_ref[...] += mm(ctx, dac, ((0,), (0,)))[None]
+        doutb_ref[...] += _csum(dx2)
+        dctx = mm(dac, outw_ref[0].astype(cdt)).astype(cdt)  # [T, D]
+        dq_parts, dk_parts, dv_parts = [], [], []
+        for hh in range(num_heads):
+            qo, ko, vo = attention._packed_offsets("slab", hh, num_heads,
+                                                   head_dim)
+            q = qkvc[:, qo:qo + head_dim]
+            k = qkvc[:, ko:ko + head_dim]
+            v = qkvc[:, vo:vo + head_dim]
+            doh = dctx[:, hh * head_dim:(hh + 1) * head_dim]
+            _, p = attention._head_attention(q, k, v, scale)
+            dp = mm(doh, v)                               # [T, T]
+            ds = p * (dp - jnp.sum(dp * p, axis=1, keepdims=True))
+            ds = (ds * scale).astype(cdt)
+            dv_parts.append(mm(p.astype(cdt), doh, ((0,), (0,))))
+            dq_parts.append(mm(ds, k, ((1,), (0,))))
+            dk_parts.append(mm(ds, q, ((0,), (0,))))
+        # Slab packing: q heads | k heads | v heads.
+        dqkv = jnp.concatenate(dq_parts + dk_parts + dv_parts, axis=-1)
+        dqkv_c = dqkv.astype(cdt)                         # [T, 3D]
+        dqkvb_ref[...] += _csum(dqkv)
+        dqkvw_ref[...] += mm(h1c, dqkv_c, ((0,), (0,)))[None]
+        dh1 = mm(dqkv_c, qkvw_ref[0].astype(cdt))         # [T, D]
+        dx_ln1, dw_rows, db_rows = _ln_bwd(dh1, xhat1, inv1, ln1w_ref[0])
+        dln1w_ref[...] += _csum(dw_rows)
+        dln1b_ref[...] += _csum(db_rows)
+        dx_ref[img] = (dx2 + dx_ln1).astype(dx_ref.dtype)
+
+
+def fused_encoder_layer_bwd(
+    x: jax.Array,
+    lp,
+    dout: jax.Array,
+    config: ViTConfig,
+    *,
+    images_per_cell: int = 1,
+    interpret: bool | None = None,
+):
+    """Fused backward: (x [B,T,D], layer params, dOut [B,T,D]) → (dx, dlp).
+
+    Gradient leaves are cast to the primal leaf dtypes (JAX cotangent
+    contract); accumulation is fp32 throughout.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, t, d = x.shape
+    hdim = config.hidden_dim
+    ipc = images_per_cell
+    while b % ipc:
+        ipc -= 1
+
+    g = jax.tree.map(lambda a: a[None], lp)
+    w_specs, w_operands = _weight_specs_operands(g, 1, d, hdim, x, False)
+
+    kernel = functools.partial(
+        _layer_bwd_kernel, num_heads=config.num_heads,
+        head_dim=config.head_dim, eps=config.eps, images_per_cell=ipc,
+    )
+
+    cell = pl.BlockSpec((ipc, t, d), lambda i: (i, 0, 0))
+    grad_keys = ("ln1_w", "ln1_b", "qkv_w", "qkv_b", "out_w", "out_b",
+                 "ln2_w", "ln2_b", "fc1_w", "fc1_b", "fc2_w", "fc2_b")
+    grad_shapes = [(1,) + np.shape(lp[k]) for k in grad_keys]
+    # Weights bf16-resident + fp32 grad accumulators + recompute temporaries.
+    wbytes = (d * 3 * d + d * d + 2 * d * hdim) * x.dtype.itemsize
+    vmem_limit = min(max(64 << 20, 3 * wbytes + (40 << 20)), 110 << 20)
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(b // ipc,),
+        in_specs=[cell, cell] + w_specs,
+        out_specs=[cell] + [_whole(s) for s in grad_shapes],
+        out_shape=[jax.ShapeDtypeStruct((b, t, d), x.dtype)]
+        + [jax.ShapeDtypeStruct(s, jnp.float32) for s in grad_shapes],
+        compiler_params=pltpu.CompilerParams(
+            # Sequential grid: grad outputs accumulate across cells via
+            # constant index maps (they stay VMEM-resident like the
+            # forward's weights).
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=vmem_limit,
+        ),
+        interpret=interpret,
+    )(x, dout, *w_operands)
+    dx = outs[0]
+    dlp = {
+        k: outs[1 + i][0].astype(np.asarray(lp[k]).dtype if not hasattr(
+            lp[k], "dtype") else lp[k].dtype)
+        for i, k in enumerate(grad_keys)
+    }
+    return dx, dlp
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _fused_layer_diff(config: ViTConfig, x, lp):
+    return fused_encoder_layer(x, lp, config)
+
+
+def _fused_layer_fwd(config, x, lp):
+    return fused_encoder_layer(x, lp, config), (x, lp)
+
+
+def _fused_layer_bwd(config, res, g):
+    x, lp = res
+    dx, dlp = fused_encoder_layer_bwd(x, lp, g, config)
+    return dx, dlp
+
+
+_fused_layer_diff.defvjp(_fused_layer_fwd, _fused_layer_bwd)
+
+
+def fused_encoder_layer_trainable(x: jax.Array, lp, config: ViTConfig):
+    """Differentiable fused encoder layer (Pallas fwd AND bwd).
+
+    Drop-in for the ``encoder_block`` kernel-table slot in training: forward
+    is ``fused_encoder_layer``; backward is the fused rematerializing kernel
+    (only residual: x). First-order reverse-mode only.
+    """
+    return _fused_layer_diff(config, x, lp)
+
+
+# Per-layer bf16 weight cap for the TRAINABLE path: backward holds the four
+# matmul weights (bf16) PLUS their fp32 grad accumulators (2x the bytes)
+# resident, so the budget is ~3x the inference kernel's weight footprint.
+# ViT-B (14.2 MB -> ~43 MB resident) fits; ViT-L @384 (25.2 MB -> 76 MB +
+# [577, 4096] fp32 temporaries) does not.
+TRAINABLE_MAX_WEIGHT_BYTES = 17 << 20
+
+
+def supports_trainable(config: ViTConfig, dtype_bytes: int = 2) -> bool:
+    """Whether training can route through the fused layer + fused backward."""
+    if config.gelu_approx != "erf":
+        return False
+    d, h = config.embed_dim, config.hidden_dim
+    weight_bytes = (d * 3 * d + d * d + d * h + h * d) * dtype_bytes
+    return weight_bytes <= TRAINABLE_MAX_WEIGHT_BYTES
