@@ -385,6 +385,132 @@ def sp_forward(
 
 
 # ---------------------------------------------------------------------------
+# Composed sequence x tensor parallelism (Megatron-style SP)
+# ---------------------------------------------------------------------------
+#
+# ``sp_forward`` above replicates the params — a correctness/latency path.
+# This is the production composition: activations live TOKEN-sharded in the
+# per-token regions (LN, residuals — 1/n activation memory) while the matmul
+# weights stay MODEL-sharded exactly as in ``tp_forward``. Each block does
+#   all_gather(tokens) → column-parallel matmul (local heads / local hidden)
+#   → row-parallel matmul → psum_scatter(tokens)
+# so the communication volume per layer equals TP's two psums (a psum IS an
+# all-gather + reduce-scatter), but no rank ever materializes a full
+# replicated activation between blocks. bf16 end to end; attention runs the
+# packed Pallas flash kernel on the gathered sequence with padded KV columns
+# masked (``true_seq_len``).
+
+
+def _masked_xla_attention(qkv, b, t_pad, nh_loc, hd, seq_len):
+    """Per-head-packed qkv [B, T_pad, nh*3*hd] → ctx, padded KV masked."""
+    q, k, v = (
+        qkv.reshape(b, t_pad, nh_loc, 3, hd).transpose(3, 0, 2, 1, 4)[i]
+        for i in range(3)
+    )
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                   preferred_element_type=jnp.float32)
+    s = s * np.float32(1.0 / np.sqrt(hd))
+    kv_pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 3)
+    s = jnp.where(kv_pos < seq_len, s, -0.7 * np.finfo(np.float32).max)
+    p = jax.nn.softmax(s, axis=-1)
+    ctx = jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32).astype(v.dtype)
+    return ctx.transpose(0, 2, 1, 3).reshape(b, t_pad, nh_loc * hd)
+
+
+def sp_tp_forward(
+    images: jax.Array,
+    params: Params,
+    config: ViTConfig,
+    mesh: Mesh,
+    *,
+    compute_dtype: jnp.dtype = jnp.bfloat16,
+    attention_impl: str = "flash",
+    return_logits: bool = False,
+):
+    """Sequence-parallel x tensor-parallel forward over ("data", "model").
+
+    ``params`` must be in the TP layout (``shard_params_tp``): weights are
+    model-sharded; between blocks the activations are token-sharded. Returns
+    probabilities [B, num_classes] (batch sharded over "data").
+    """
+    if attention_impl not in ("flash", "xla"):
+        raise ValueError(f"unknown attention_impl {attention_impl!r}")
+    n_model = mesh.shape["model"]
+    t = config.num_tokens
+    t_pad = -(-t // n_model) * n_model
+    nh, hd = config.num_heads, config.head_dim
+    nh_loc = nh // n_model
+    pspecs = tp_pspecs(params, config)
+
+    cache_key = ("sptp", config, mesh, jnp.dtype(compute_dtype),
+                 attention_impl, return_logits, jax.tree.structure(params))
+
+    def fn(imgs, p):
+        x = vit.embed(imgs, p, config, compute_dtype)  # [B_loc, T, D]
+        if config.pre_norm:
+            x = vit.layer_norm(x, p["pre_ln_w"], p["pre_ln_b"], config.eps)
+        b = x.shape[0]
+        if t_pad != t:
+            x = jnp.pad(x, ((0, 0), (0, t_pad - t), (0, 0)))
+        sidx = jax.lax.axis_index("model")
+        t_loc = t_pad // n_model
+        x = jax.lax.dynamic_slice_in_dim(x, sidx * t_loc, t_loc, axis=1)
+
+        def block(h, lp):
+            # Attention: SP-region LN → AG(tokens) → col-parallel QKV →
+            # head-parallel flash core → row-parallel out → RS(tokens).
+            hh = vit.layer_norm(h, lp["ln1_w"], lp["ln1_b"], config.eps)
+            hg = jax.lax.all_gather(hh, "model", axis=1, tiled=True)
+            qkv = _dot_q(hg, lp["qkv_w"])
+            qkv = (qkv + lp["qkv_b"]).astype(h.dtype)  # [B, T_pad, nh_loc*3*hd]
+            if attention_impl == "flash":
+                from ..ops.attention import packed_fused_attention
+
+                ctx = packed_fused_attention(
+                    qkv, num_heads=nh_loc, head_dim=hd, packing="per_head",
+                    true_seq_len=t if t_pad != t else None,
+                )
+            else:
+                ctx = _masked_xla_attention(qkv, b, t_pad, nh_loc, hd, t)
+            partial = _dot_q(ctx, lp["out_w"])  # fp32 [B, T_pad, D]
+            attn = jax.lax.psum_scatter(partial, "model",
+                                        scatter_dimension=1, tiled=True)
+            h = h + (attn + lp["out_b"]).astype(h.dtype)
+
+            # MLP: SP-region LN → AG → col-parallel fc1+GELU →
+            # row-parallel fc2 → RS.
+            hh = vit.layer_norm(h, lp["ln2_w"], lp["ln2_b"], config.eps)
+            hg = jax.lax.all_gather(hh, "model", axis=1, tiled=True)
+            hid = _dot_q(hg, lp["fc1_w"])
+            hid = vit.gelu_erf((hid + lp["fc1_b"]).astype(h.dtype))
+            partial = _dot_q(hid, lp["fc2_w"])
+            mlp = jax.lax.psum_scatter(partial, "model",
+                                       scatter_dimension=1, tiled=True)
+            return h + (mlp + lp["fc2_b"]).astype(h.dtype), None
+
+        x, _ = jax.lax.scan(block, x, p["layers"])
+        x = vit.layer_norm(x, p["final_ln_w"], p["final_ln_b"], config.eps)
+        full = jax.lax.all_gather(x, "model", axis=1, tiled=True)[:, :t]
+        logits = vit.classifier_logits(full.astype(jnp.float32), p, config,
+                                       compute_dtype)
+        if return_logits:
+            return logits
+        return jax.nn.softmax(logits, axis=-1)
+
+    def build():
+        return jax.jit(jax.shard_map(
+            fn,
+            mesh=mesh,
+            in_specs=(P("data"), pspecs),
+            out_specs=P("data"),
+            check_vma=False,
+        ))
+
+    return _cached_program(cache_key, build)(images, params)
+
+
+# ---------------------------------------------------------------------------
 # Data-parallel inference (pjit/GSPMD — params replicated)
 # ---------------------------------------------------------------------------
 
@@ -421,9 +547,14 @@ def make_train_step(config: ViTConfig, mesh: Mesh, *, lr: float = 1e-3,
     ``optimizer``: "sgd" (stateless; step(params, images, labels)) or
     "adamw" (optax; returns (init_fn, step_fn) where step takes and returns
     (params, opt_state)). ``attention_impl="flash"`` uses the fused Pallas
-    attention in BOTH directions (custom-VJP forward + fused backward kernel).
+    attention in BOTH directions (custom-VJP forward + fused backward
+    kernel). ``attention_impl="fused"`` goes further: every encoder layer
+    runs as ONE fused Pallas kernel in BOTH directions
+    (ops/fused_block.fused_encoder_layer_trainable — rematerializing
+    backward, x is the only residual per layer), falling back to the flash
+    path when the config's weights exceed the trainable VMEM gate.
     """
-    if attention_impl == "flash":
+    if attention_impl in ("flash", "fused"):
         from ..ops.attention import packed_fused_attention_trainable
 
         kernels = vit.resolve_kernels("xla")
@@ -432,6 +563,15 @@ def make_train_step(config: ViTConfig, mesh: Mesh, *, lr: float = 1e-3,
                 qkv, cfg.num_heads, cfg.head_dim
             )
         )
+        if attention_impl == "fused":
+            from ..ops import fused_block
+
+            if fused_block.supports_trainable(
+                config, dtype_bytes=jnp.dtype(compute_dtype).itemsize
+            ):
+                kernels["encoder_block"] = (
+                    fused_block.fused_encoder_layer_trainable
+                )
     else:
         kernels = vit.resolve_kernels(attention_impl)
 
