@@ -43,11 +43,19 @@ def bubble_fraction(n_microbatches: int, n_stages: int,
 
     GPipe (interleave=1): 1 − M/(M+S−1). Interleaved virtual stages divide
     each stage's layers into ``v`` chunks a microbatch visits in ``v`` ring
-    laps, shrinking every bubble step to 1/v of a stage's work:
-    1 − vM/(M+vS−1).
+    laps, shrinking every bubble step to 1/v of a stage's work: for M <= S,
+    1 − vM/(M+vS−1). For M > S the schedule runs ``ceil(M/S)`` WAVES of at
+    most S microbatches, injected back to back with period vS (wave w+1's
+    lap-0 window opens exactly as wave w's lap-(v−1) stream drains), so
+    total steps = (W−1)·vS + ((M−1) mod S) + vS and useful per-stage chunk
+    steps = vM.
     """
     m, s, v = n_microbatches, n_stages, interleave
-    return 1.0 - (v * m) / (m + v * s - 1)
+    if v == 1:
+        return 1.0 - m / (m + s - 1)
+    waves = -(-m // s)
+    total = (waves - 1) * v * s + ((m - 1) % s) + v * s
+    return 1.0 - (v * m) / total
 
 
 def _interleave_perm(depth: int, n_stages: int, interleave: int):
@@ -120,12 +128,14 @@ def pp_forward(
 
     ``interleave`` (v): virtual-stage chunks per device. v=1 is plain GPipe
     (M+S−1 steps of full-stage work). v>1 splits each stage's layers into v
-    chunks that a microbatch visits over v ring laps: M+vS−1 steps of
+    chunks that a microbatch visits over v ring laps, each step costing
     (1/v)-stage work, cutting the fill/drain bubble by ~v
     (``bubble_fraction``). Requires params laid out by
-    ``shard_params_pp(..., interleave=v)`` and M <= S (the lap-j stream a
-    stage receives back from the ring must not collide with its lap-(j-1)
-    work — guaranteed when the injection window fits one lap).
+    ``shard_params_pp(..., interleave=v)``. M > S is scheduled as
+    back-to-back WAVES of at most S microbatches (wave w injects during
+    steps [w·vS, w·vS+S), exactly the window after wave w−1's last lap has
+    left stage 0), so any microbatch count works without caller-side batch
+    splitting.
     """
     n_stages = mesh.shape["pipe"]
     kernels = vit.resolve_kernels(attention_impl)
@@ -148,16 +158,10 @@ def pp_forward(
             f"the layer order would be wrong — re-shard with the matching "
             f"interleave"
         )
-    if V > 1:
-        if config.depth % (S * V):
-            raise ValueError(
-                f"depth {config.depth} not divisible by {S} stages x {V} chunks"
-            )
-        if M > S:
-            raise ValueError(
-                f"interleaved schedule needs n_microbatches <= n_stages "
-                f"({M} > {S}); split the batch into waves instead"
-            )
+    if V > 1 and config.depth % (S * V):
+        raise ValueError(
+            f"depth {config.depth} not divisible by {S} stages x {V} chunks"
+        )
 
     pspecs = jax.tree.map(lambda _: P(), params)
     pspecs["layers"] = jax.tree.map(lambda _: P("pipe"), params["layers"])
@@ -221,19 +225,25 @@ def pp_forward(
 
             n_steps = M + S - 1
         else:
-            # Interleaved schedule: virtual stage k = j*S + s processes
-            # microbatch m at step m + k; each step a stage runs ONE chunk of
-            # 1/V of its layers, so fill/drain steps cost 1/V of a stage.
-            # With M <= S the stage's lap-j work never collides with lap-j+1
-            # arrivals, so rel = step - stage decomposes uniquely as
-            # j = rel // S (lap), m = rel % S (microbatch, valid when < M).
+            # Interleaved schedule with WAVES: microbatch m (wave w = m//S,
+            # slot r = m%S) runs virtual stage k = j*S + s at step
+            # w·VS + r + j·S + s. rel = step − stage decomposes uniquely as
+            # (w, j, r) = (rel // VS, rel % VS // S, rel % S) — each stage
+            # does exactly one 1/V-stage chunk per step, and wave w+1's
+            # lap-0 injection window [w·VS, w·VS+S) at stage 0 opens exactly
+            # as wave w's lap-(V−1) stream [w·VS−S, w·VS) drains, so waves
+            # pipeline back to back with no collision for ANY M.
+            W = -(-M // S)  # number of waves
+
             def step_fn(step, state):
                 carry, outputs = state
                 rel = step - stage
-                lap = jnp.clip(rel // S, 0, V - 1)
-                m_idx = jnp.clip(rel, 0, S * V - 1) % S
-                active = (rel >= 0) & (rel < S * V) & (m_idx < M)
-                feed = (stage == 0) & (rel < S)  # lap-0 injection window
+                relc = jnp.clip(rel, 0, W * V * S - 1)
+                within = relc % (V * S)
+                lap = within // S
+                m_idx = (relc // (V * S)) * S + within % S
+                active = (rel >= 0) & (rel < W * V * S) & (m_idx < M)
+                feed = (stage == 0) & (lap == 0) & active
                 inp = jnp.where(feed, mbs[jnp.clip(m_idx, 0, M - 1)], carry)
                 y = run_chunk(inp, lap)
                 record = active & (stage == S - 1) & (lap == V - 1)
@@ -245,7 +255,9 @@ def pp_forward(
                 carry = jax.lax.ppermute(y, "pipe", perm)
                 return carry, outputs
 
-            n_steps = M + V * S - 1
+            # Last microbatch (wave W−1, slot (M−1)%S) finishes lap V−1 at
+            # stage S−1 at step (W−1)·VS + (M−1)%S + (V−1)·S + (S−1).
+            n_steps = (W - 1) * V * S + ((M - 1) % S) + V * S
 
         _, outputs = jax.lax.fori_loop(0, n_steps, step_fn, (carry, outputs))
         # Broadcast the last stage's outputs to every device.
