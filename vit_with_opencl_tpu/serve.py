@@ -325,12 +325,11 @@ def main(argv=None) -> int:
 
     n_dp = len(jax.devices()) if args.dp == 0 else args.dp
     if n_dp > 1:
-        if args.uint8:
-            raise SystemExit("--uint8 is not supported with --dp > 1 yet")
         engine = DataParallelEngine(
             cfg, weights, batch_size=args.batch_size,
             devices=jax.devices()[:n_dp],
             attention_impl=args.attention, quantize=args.quantize,
+            normalize_uint8=args.uint8,
         )
     else:
         engine = InferenceEngine(
