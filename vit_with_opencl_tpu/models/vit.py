@@ -347,7 +347,9 @@ def resolve_kernels(attention_impl: str = "xla",
 
     ``tuning``: optional knobs from the autotune cache (perf/autotune.lookup):
     ``attention_ipc`` / ``fused_block_ipc`` override the kernels' shipped
-    images-per-cell heuristics with device-measured winners.
+    images-per-cell heuristics; ``attention_ragged`` overrides the
+    ragged-vs-padded block route; ``blockwise_block_q``/``blockwise_block_k``
+    tune the long-sequence flash blocks — all with device-measured winners.
     """
     import functools as _ft
 
@@ -357,10 +359,18 @@ def resolve_kernels(attention_impl: str = "xla",
         from ..ops.attention import flash_attention, packed_fused_attention
 
         kernels["attention"] = flash_attention
-        attn_ipc = tuning.get("attention_ipc")
+        attn_kw = {}
+        if tuning.get("attention_ipc"):
+            attn_kw["images_per_cell"] = int(tuning["attention_ipc"])
+        if tuning.get("attention_ragged") is not None:
+            attn_kw["ragged"] = bool(tuning["attention_ragged"])
+        if tuning.get("blockwise_block_q"):
+            attn_kw["block_q"] = int(tuning["blockwise_block_q"])
+        if tuning.get("blockwise_block_k"):
+            attn_kw["block_k"] = int(tuning["blockwise_block_k"])
         kernels["attention_packed"] = (
-            _ft.partial(packed_fused_attention, images_per_cell=int(attn_ipc))
-            if attn_ipc else packed_fused_attention
+            _ft.partial(packed_fused_attention, **attn_kw)
+            if attn_kw else packed_fused_attention
         )
         # Small models also get the whole-layer fused kernel (gated by
         # fused_block.supports; a no-op for ViT-B-sized configs).

@@ -171,6 +171,124 @@ def tune_fused_stack_ipc(
                  timer=timer)
 
 
+def tune_ragged_route(
+    config: ViTConfig,
+    batch: int,
+    *,
+    dtype=jnp.bfloat16,
+    iters: int = 20,
+    timer: Optional[Callable] = None,
+) -> Tuple[bool, Dict[bool, float]]:
+    """Measure ragged (unpadded) vs padded packed-attention blocks for this
+    exact (config, batch) instead of trusting the 2 MB knee heuristic
+    (ops/attention.RAGGED_MAX_BLOCK_BYTES). An OOM on the ragged route is a
+    data point (inf), not an error."""
+    from ..ops.attention import packed_fused_attention
+
+    d = config.embed_dim
+    i = jax.lax.broadcasted_iota(
+        jnp.int32, (batch * config.num_tokens * 3 * d, 1), 0
+    )[:, 0]
+    v = (((i * 16807) % 1021).astype(jnp.float32) / 1021.0 - 0.5)
+    qkv = v.reshape(batch, config.num_tokens, 3 * d).astype(dtype)
+
+    def build(ragged):
+        return jax.jit(functools.partial(
+            packed_fused_attention, config=config, ragged=ragged,
+        ))
+
+    return sweep([True, False], build, (qkv,), iters=iters, timer=timer)
+
+
+def tune_blockwise_blocks(
+    seq_len: int,
+    head_dim: int,
+    *,
+    batch_heads: int = 8,
+    dtype=jnp.bfloat16,
+    candidates: Sequence[Tuple[int, int]] = (
+        (128, 128), (128, 256), (256, 256), (256, 512), (512, 512),
+        (128, 512), (512, 256),
+    ),
+    iters: int = 10,
+    timer: Optional[Callable] = None,
+) -> Tuple[Tuple[int, int], Dict]:
+    """Sweep (block_q, block_k) for the long-sequence blockwise flash
+    forward at a given sequence length — the knobs round 2 shipped as
+    literals (DEFAULT_BLOCK_Q/K)."""
+    from ..ops.attention import _blockwise_fwd_flat, _cdiv
+
+    def mk(shape, salt):
+        n = int(np.prod(shape))
+        i = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+        v = (((i * 48271 + salt) % 1021).astype(jnp.float32) / 1021.0 - 0.5)
+        return v.reshape(shape).astype(dtype)
+
+    def build(bqk):
+        bq, bk = bqk
+        import math as _math
+
+        lcm = bq * bk // _math.gcd(bq, bk)
+        t_pad = _cdiv(seq_len, lcm) * lcm
+        qf = mk((batch_heads, t_pad, head_dim), 1)
+        kf = mk((batch_heads, t_pad, head_dim), 2)
+        vf = mk((batch_heads, t_pad, head_dim), 3)
+
+        def run():
+            out, _ = _blockwise_fwd_flat(
+                qf, kf, vf, scale=0.125, seq_len=seq_len, block_q=bq,
+                block_k=bk, interpret=jax.default_backend() != "tpu",
+                return_lse=False,
+            )
+            return out
+
+        jitted = jax.jit(run)
+        return lambda: jitted()
+
+    valid = [c for c in candidates
+             if c[0] <= seq_len and c[1] <= seq_len]
+    return sweep(valid, build, (), iters=iters, timer=timer)
+
+
+def tune_fused_linear_blocks(
+    m: int,
+    k_dim: int,
+    n_dim: int,
+    *,
+    dtype=jnp.bfloat16,
+    candidates: Sequence[Tuple[int, int, int]] = (
+        (256, 512, 512), (512, 512, 512), (256, 1024, 512),
+        (512, 1024, 512), (256, 512, 1024), (128, 512, 512),
+    ),
+    iters: int = 10,
+    timer: Optional[Callable] = None,
+) -> Tuple[Tuple[int, int, int], Dict]:
+    """Sweep (block_m, block_n, block_k) for ops/linear.fused_linear at a
+    given GEMM shape (e.g. the flat [B*T, D] x [D, H] MLP)."""
+    from ..ops import linear
+
+    def mk(shape, salt):
+        n = int(np.prod(shape))
+        i = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+        v = (((i * 16807 + salt) % 1021).astype(jnp.float32) / 1021.0 - 0.5)
+        return v.reshape(shape).astype(dtype)
+
+    x = mk((m, k_dim), 1)
+    w = mk((k_dim, n_dim), 2)
+    b = mk((n_dim,), 3).astype(jnp.float32)
+
+    interpret = jax.default_backend() != "tpu"
+
+    def build(blocks):
+        bm, bn, bk = blocks
+        return jax.jit(functools.partial(
+            linear.fused_linear, block_m=bm, block_n=bn, block_k=bk,
+            interpret=interpret,
+        ))
+
+    return sweep(list(candidates), build, (x, w, b), iters=iters, timer=timer)
+
+
 # ---------------------------------------------------------------------------
 # Production tuning cache: the engine/daemon consult this per
 # (config, batch, dtype) key and fall back to the shipped heuristics —
@@ -235,6 +353,24 @@ def tune_and_save(
         "device": str(jax.devices()[0]),
         "timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
     }
+    ragged, ragged_table = tune_ragged_route(
+        config, batch, dtype=dtype, iters=iters, timer=timer
+    )
+    result["attention_ragged"] = bool(ragged)
+    result["attention_ragged_table_ms"] = {str(k): v
+                                           for k, v in ragged_table.items()}
+    if config.num_tokens > 1024:
+        # Long-sequence configs route through the blockwise flash kernel:
+        # sweep its block shapes too.
+        (bq, bk), bw_table = tune_blockwise_blocks(
+            config.num_tokens, config.head_dim,
+            batch_heads=min(batch * config.num_heads, 16), dtype=dtype,
+            iters=iters, timer=timer,
+        )
+        result["blockwise_block_q"] = int(bq)
+        result["blockwise_block_k"] = int(bk)
+        result["blockwise_table_ms"] = {str(k): v
+                                        for k, v in bw_table.items()}
     dtype_bytes = jnp.dtype(dtype).itemsize
     if fused_block.supports_stack(config, dtype_bytes=dtype_bytes):
         # Production path for this config is the whole-encoder stack kernel
