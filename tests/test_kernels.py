@@ -391,6 +391,10 @@ def test_fused_block_supports_gate():
     # measured gate raises; both were probed faster than per-op on v5e.
     assert fused_block.supports(get_config("vit_b_16_224"))
     assert fused_block.supports(get_config("vit_l_16_384"))
+    # ViT-H/14 (39.3 MB/layer bf16, 19.7 MB int8): both probed faster than
+    # per-op in round 3 (+6% bf16, +10% int8).
+    assert fused_block.supports(get_config("vit_h_14_224"))
+    assert fused_block.supports(get_config("vit_h_14_224"), dtype_bytes=1)
 
 
 def test_packed_bwd_padded_route_grads():
@@ -589,3 +593,204 @@ def test_fused_stack_supports_gate():
     assert fused_block.supports_stack(get_config("vit_tiny_16_224"))
     assert fused_block.supports_stack(get_config("vit_s_16_224"))
     assert not fused_block.supports_stack(get_config("vit_b_16_224"))
+
+
+# ---------------------------------------------------------------------------
+# trainable fused encoder layer (custom VJP, fused rematerializing backward)
+# ---------------------------------------------------------------------------
+
+
+def _jnp_fused_layer_math(x, lp, cfg):
+    """Pure-jnp transcription of _block_kernel's math (incl. _gelu_fast), so
+    jax.grad of THIS is the oracle for the hand-written fused backward."""
+    from vit_with_opencl_tpu.ops import fused_block as fb
+
+    nh, hd = cfg.num_heads, cfg.head_dim
+    scale = 1.0 / np.sqrt(hd)
+
+    def ln(xf, w, b):
+        mean = jnp.mean(xf, -1, keepdims=True)
+        var = jnp.mean(xf * xf, -1, keepdims=True) - mean * mean
+        return (xf - mean) * jax.lax.rsqrt(var + cfg.eps) * w + b
+
+    def one(x0):
+        h = ln(x0, lp["ln1_w"], lp["ln1_b"])
+        qkv = h @ lp["qkv_w"] + lp["qkv_b"]
+        parts = []
+        for hh in range(nh):
+            qo, ko, vo = attention._packed_offsets("slab", hh, nh, hd)
+            q, k, v = (qkv[:, o:o + hd] for o in (qo, ko, vo))
+            p = jax.nn.softmax((q * scale) @ k.T, axis=-1)
+            parts.append(p @ v)
+        ctx = jnp.concatenate(parts, -1)
+        x2 = x0 + ctx @ lp["out_w"] + lp["out_b"]
+        h2 = ln(x2, lp["ln2_w"], lp["ln2_b"])
+        hid = fb._gelu_fast(h2 @ lp["fc1_w"] + lp["fc1_b"])
+        return x2 + hid @ lp["fc2_w"] + lp["fc2_b"]
+
+    return jax.vmap(one)(x)
+
+
+def test_gelu_fast_grad_matches_autodiff():
+    from vit_with_opencl_tpu.ops import fused_block as fb
+
+    x = jnp.linspace(-6.0, 6.0, 997, dtype=jnp.float32)
+    want = jax.vmap(jax.grad(fb._gelu_fast))(x)
+    got = fb._gelu_fast_grad(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_fused_layer_trainable_grads():
+    """Fused fwd + fused rematerializing bwd vs jax.grad of the same math.
+
+    b=3 with images_per_cell=1 also exercises weight-grad accumulation
+    across the (sequential) batch grid."""
+    from vit_with_opencl_tpu.harness import fixtures
+    from vit_with_opencl_tpu.models import vit as vitmod
+    from vit_with_opencl_tpu.ops import fused_block
+
+    cfg = ViTConfig(name="ftr", img_size=32, patch_size=8, embed_dim=64,
+                    depth=1, num_heads=4, num_classes=9)
+    named = fixtures.random_params(cfg, seed=7, scale=0.05)
+    stacked = vitmod.stack_params(named, cfg, param_dtype=jnp.float32)
+    lp = jax.tree.map(lambda a: jnp.asarray(a[0]), stacked["layers"])
+    r = rng()
+    x = jnp.asarray(
+        r.standard_normal((3, cfg.num_tokens, cfg.embed_dim)), jnp.float32
+    )
+
+    def loss_fused(x, lp):
+        out = fused_block.fused_encoder_layer_trainable(x, lp, cfg)
+        return jnp.sum(out * out)
+
+    def loss_ref(x, lp):
+        out = _jnp_fused_layer_math(x, lp, cfg)
+        return jnp.sum(out * out)
+
+    v_f, (gx_f, glp_f) = jax.value_and_grad(loss_fused, argnums=(0, 1))(x, lp)
+    v_r, (gx_r, glp_r) = jax.value_and_grad(loss_ref, argnums=(0, 1))(x, lp)
+    np.testing.assert_allclose(float(v_f), float(v_r), rtol=1e-5)
+
+    def tol(ref):
+        return 1e-4 * max(1.0, float(np.abs(ref).max()))
+
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_r),
+                               atol=tol(np.asarray(gx_r)))
+    for key in glp_r:
+        ref = np.asarray(glp_r[key])
+        np.testing.assert_allclose(
+            np.asarray(glp_f[key]), ref, atol=tol(ref),
+            err_msg=f"grad mismatch for layer param {key!r}",
+        )
+
+
+def test_fused_layer_trainable_under_scan():
+    """The training path consumes the layer via lax.scan over stacked params —
+    grads must flow through scan + custom_vjp together."""
+    from vit_with_opencl_tpu.harness import fixtures
+    from vit_with_opencl_tpu.models import vit as vitmod
+    from vit_with_opencl_tpu.ops import fused_block
+
+    cfg = ViTConfig(name="ftr2", img_size=32, patch_size=8, embed_dim=64,
+                    depth=2, num_heads=4, num_classes=9)
+    named = fixtures.random_params(cfg, seed=8, scale=0.05)
+    stacked = vitmod.stack_params(named, cfg, param_dtype=jnp.float32)
+    layers = jax.tree.map(jnp.asarray, stacked["layers"])
+    r = rng()
+    x = jnp.asarray(
+        r.standard_normal((2, cfg.num_tokens, cfg.embed_dim)), jnp.float32
+    )
+
+    def loss(x, layers, layer_fn):
+        def body(h, lp):
+            return layer_fn(h, lp, cfg), None
+
+        out, _ = jax.lax.scan(body, x, layers)
+        return jnp.sum(out * out)
+
+    v_f, g_f = jax.value_and_grad(loss, argnums=1)(
+        x, layers, fused_block.fused_encoder_layer_trainable
+    )
+    v_r, g_r = jax.value_and_grad(loss, argnums=1)(
+        x, layers, lambda h, lp, c: _jnp_fused_layer_math(h, lp, c)
+    )
+    np.testing.assert_allclose(float(v_f), float(v_r), rtol=1e-5)
+    for key in g_r:
+        ref = np.asarray(g_r[key])
+        atol = 1e-4 * max(1.0, float(np.abs(ref).max()))
+        np.testing.assert_allclose(np.asarray(g_f[key]), ref, atol=atol,
+                                   err_msg=f"scan grad mismatch for {key!r}")
+
+
+def test_supports_trainable_gate():
+    from vit_with_opencl_tpu import get_config
+    from vit_with_opencl_tpu.ops import fused_block
+
+    assert fused_block.supports_trainable(get_config("vit_b_16_224"))
+    assert fused_block.supports_trainable(get_config("vit_tiny_16_224"))
+    # ViT-L's 25.2 MB/layer would put ~76 MB of weights+accumulators in
+    # VMEM before any temporaries — excluded.
+    assert not fused_block.supports_trainable(get_config("vit_l_16_384"))
+
+
+# ---------------------------------------------------------------------------
+# ring attention — blockwise Pallas local step
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("t", [512, 420])
+def test_ring_attention_blockwise_matches_einsum(t):
+    """Ring with the carry-in/carry-out flash local step == einsum ring ==
+    plain attention (incl. a T that doesn't divide the ring: per-shard
+    prefix masking)."""
+    import jax
+    from jax.sharding import Mesh
+    from vit_with_opencl_tpu.ops import ring_attention as ra
+
+    mesh = Mesh(np.array(jax.devices()[:4]), axis_names=("model",))
+    r = rng()
+    q = r.standard_normal((1, 2, t, 64)).astype(np.float32)
+    k = r.standard_normal((1, 2, t, 64)).astype(np.float32)
+    v = r.standard_normal((1, 2, t, 64)).astype(np.float32)
+    cfg = ViTConfig(name="rb", img_size=32, patch_size=8, embed_dim=256,
+                    depth=1, num_heads=4)
+    outs = {}
+    for impl in ("einsum", "blockwise"):
+        outs[impl] = np.asarray(ra.ring_attention(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), cfg, mesh,
+            impl=impl,
+        ))
+    ref = _ref_attention(q, k, v, cfg.head_dim)
+    np.testing.assert_allclose(outs["einsum"], ref, atol=2e-5)
+    np.testing.assert_allclose(outs["blockwise"], ref, atol=2e-5)
+
+
+def test_blockwise_ring_step_carries_stats():
+    """Two chained blockwise_ring_step calls over a split KV == one-shot
+    softmax over the concatenated KV (the cross-device rescaling identity)."""
+    from vit_with_opencl_tpu.ops import attention as attn
+
+    r = rng()
+    t_loc, hd = 128, 32
+    q = jnp.asarray(r.standard_normal((1, t_loc, hd)), jnp.float32)
+    k = jnp.asarray(r.standard_normal((1, 2 * t_loc, hd)), jnp.float32)
+    v = jnp.asarray(r.standard_normal((1, 2 * t_loc, hd)), jnp.float32)
+    scale = 0.17
+    m = jnp.full((1, t_loc), -jnp.inf, jnp.float32)
+    l = jnp.zeros((1, t_loc), jnp.float32)
+    acc = jnp.zeros((1, t_loc, hd), jnp.float32)
+    bias = jnp.zeros((1, t_loc), jnp.float32)
+    m, l, acc = attn.blockwise_ring_step(
+        q, k[:, :t_loc], v[:, :t_loc], bias, m, l, acc,
+        scale=scale, block_q=64, block_k=64,
+    )
+    m, l, acc = attn.blockwise_ring_step(
+        q, k[:, t_loc:], v[:, t_loc:], bias, m, l, acc,
+        scale=scale, block_q=64, block_k=64,
+    )
+    out = np.asarray(acc / l[..., None])
+    s = (np.asarray(q) @ np.swapaxes(np.asarray(k), -1, -2)) * scale
+    p = np.exp(s - s.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    ref = p @ np.asarray(v)
+    np.testing.assert_allclose(out, ref, atol=2e-5)

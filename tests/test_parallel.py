@@ -336,11 +336,28 @@ def test_pipeline_interleaved_matches_golden():
     assert np.isclose(gpipe, 1 - 2 / 3)
     assert np.isclose(inter, 1 - 4 / 5)  # 1 - vM/(M+vS-1)
 
-    # Schedule preconditions fail loudly.
-    with pytest.raises(ValueError, match="microbatches <= n_stages"):
-        pipeline.pp_forward(jnp.asarray(images), params, cfg, mesh,
-                            n_microbatches=4, compute_dtype=jnp.float32,
-                            interleave=2)
+    # M > S runs as back-to-back waves (round-2 verdict item 5: the
+    # framework does the wave scheduling, not the caller).
+    probs_waves = pipeline.pp_forward(
+        jnp.asarray(images), params, cfg, mesh, n_microbatches=4,
+        compute_dtype=jnp.float32, interleave=2,
+    )
+    np.testing.assert_allclose(np.asarray(probs_waves), ref, atol=1e-5)
+    # Wave bubble: M=4, S=2, V=2 -> W=2, total (2-1)*4 + 1 + 4 = 9 steps of
+    # half-stage work, useful 8 -> 1/9 bubble; GPipe M=4,S=2 is 1 - 4/5.
+    waves = pipeline.bubble_fraction(4, 2, interleave=2)
+    assert np.isclose(waves, 1 - 8 / 9)
+    assert waves < pipeline.bubble_fraction(4, 2, interleave=1)
+
+    # Ragged last wave (M=3 on S=2): partial-wave slots mask out cleanly.
+    names3 = fixtures.random_images(cfg, n=6, seed=9)
+    ref3 = golden.golden_forward(names3, named, cfg)
+    probs3 = pipeline.pp_forward(
+        jnp.asarray(names3), params, cfg, mesh, n_microbatches=3,
+        compute_dtype=jnp.float32, interleave=2,
+    )
+    np.testing.assert_allclose(np.asarray(probs3), ref3, atol=1e-5)
+
     with pytest.raises(ValueError, match="not divisible"):
         pipeline.shard_params_pp(stacked, mesh, cfg, interleave=3)
 
@@ -419,3 +436,112 @@ def test_pp_interleave_layout_mismatch_raises():
     with pytest.raises(ValueError, match="interleave"):
         pipeline.pp_forward(images, sharded, cfg, mesh,
                             n_microbatches=2, interleave=2)
+
+
+def test_train_step_fused_layer_descends_and_matches(setup):
+    """attention_impl='fused': every encoder layer trains through ONE Pallas
+    kernel in both directions. Must descend and track the per-op xla step
+    (erf vs tanh-poly GELU differ by <= 3.4e-6 pointwise)."""
+    stacked, images, _ = setup
+    mesh = spmd.make_mesh(data=1, model=1)
+    labels = jnp.arange(8) % CFG.num_classes
+    imgs = jnp.asarray(images)
+
+    from vit_with_opencl_tpu.ops import fused_block
+
+    assert fused_block.supports_trainable(CFG, dtype_bytes=4)
+    step_f = spmd.make_train_step(CFG, mesh, lr=1e-2, attention_impl="fused")
+    step_x = spmd.make_train_step(CFG, mesh, lr=1e-2, attention_impl="xla")
+
+    pf, loss_f0 = step_f(stacked, imgs, labels)
+    px, loss_x0 = step_x(stacked, imgs, labels)
+    np.testing.assert_allclose(float(loss_f0), float(loss_x0), atol=1e-4)
+    for key in ("qkv_w", "fc1_w", "out_w", "fc2_w", "ln1_w"):
+        a = np.asarray(pf["layers"][key])
+        b = np.asarray(px["layers"][key])
+        atol = 1e-4 * max(1.0, float(np.abs(b).max()))
+        np.testing.assert_allclose(a, b, atol=atol,
+                                   err_msg=f"updated {key!r} diverged")
+    loss_prev = loss_f0
+    for _ in range(3):
+        pf, loss = step_f(pf, imgs, labels)
+    assert float(loss) < float(loss_f0)
+    assert np.isfinite(float(loss))
+
+
+def test_sp_tp_forward_matches_golden(setup):
+    """Composed sequence x tensor parallelism: token-sharded activations,
+    model-sharded weights, AG/RS per block. Parity vs golden on 2x4."""
+    stacked, images, ref = setup
+    mesh = spmd.make_mesh(data=2, model=4)
+    params = spmd.shard_params_tp(stacked, mesh, CFG)
+    for impl in ("xla", "flash"):
+        probs = spmd.sp_tp_forward(
+            jnp.asarray(images), params, CFG, mesh,
+            compute_dtype=jnp.float32, attention_impl=impl,
+        )
+        np.testing.assert_allclose(np.asarray(probs), ref, atol=1e-5,
+                                   err_msg=f"impl={impl}")
+
+
+def test_sp_tp_forward_bf16_smoke(setup):
+    """bf16 production path through SP x TP stays inside the comparator
+    gate vs the fp32 golden."""
+    _, images, ref = setup
+    from vit_with_opencl_tpu.harness import fixtures as fx
+
+    named = fx.random_params(CFG, seed=3, scale=0.05)
+    stacked16 = vit.stack_params(named, CFG, param_dtype=jnp.bfloat16)
+    mesh = spmd.make_mesh(data=2, model=4)
+    params = spmd.shard_params_tp(stacked16, mesh, CFG)
+    probs = spmd.sp_tp_forward(jnp.asarray(images), params, CFG, mesh,
+                               compute_dtype=jnp.bfloat16)
+    assert np.abs(np.asarray(probs) - ref).max() < 1e-2
+
+
+def test_sp_tp_forward_int8(setup):
+    """SP x TP composes with int8 weight-only quantization (the TP layout
+    shards {q, scale} together)."""
+    stacked, images, ref = setup
+    from vit_with_opencl_tpu.models import quant
+
+    host = jax.tree.map(lambda a: np.asarray(a, np.float32), stacked)
+    qparams = quant.quantize_stacked_params(host, CFG)
+    mesh = spmd.make_mesh(data=2, model=4)
+    params = spmd.shard_params_tp(qparams, mesh, CFG)
+    probs = spmd.sp_tp_forward(jnp.asarray(images), params, CFG, mesh,
+                               compute_dtype=jnp.float32)
+    assert np.abs(np.asarray(probs) - ref).max() < 1e-2
+
+
+def test_ring_blockwise_32k_bounded_memory():
+    """Long-context dryrun (round-2 verdict item 8): T=32k ring attention
+    over the blockwise Pallas local step on the 8-device virtual mesh.
+    Per-device state is O(T_loc*hd) — nothing [T_loc, T_loc]-shaped reaches
+    HBM — and the first rows must match the exact full softmax."""
+    from jax.sharding import Mesh, PartitionSpec as P
+    from vit_with_opencl_tpu.ops import ring_attention as ra
+
+    T, hd, n = 32768, 8, 8
+    mesh = Mesh(np.array(jax.devices()[:n]), axis_names=("model",))
+    q = jax.random.normal(jax.random.key(0), (1, 1, T, hd), jnp.float32)
+    k = jax.random.normal(jax.random.key(1), (1, 1, T, hd), jnp.float32) * 0.05
+    v = jax.random.normal(jax.random.key(2), (1, 1, T, hd), jnp.float32)
+    spec = P(None, None, "model", None)
+
+    def fn(q, k, v):
+        return ra.ring_attention_shard(
+            q, k, v, axis_name="model", scale=0.125, seq_len=T,
+            shard_tokens=T // n, impl="blockwise",
+        )
+
+    f = jax.jit(jax.shard_map(fn, mesh=mesh, in_specs=(spec,) * 3,
+                              out_specs=spec, check_vma=False))
+    out = np.asarray(f(q, k, v))
+    assert out.shape == (1, 1, T, hd)
+    assert np.isfinite(out).all()
+    qh, kh, vh = (np.asarray(a)[0, 0] for a in (q, k, v))
+    s = (qh[:2] @ kh.T) * 0.125
+    p = np.exp(s - s.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    np.testing.assert_allclose(out[0, 0, :2], p @ vh, atol=1e-5)

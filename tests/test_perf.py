@@ -1,5 +1,6 @@
 """Profiler smoke tests (CPU)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -176,3 +177,90 @@ def test_lookup_ignores_other_device_and_bad_cache(tmp_path):
 
     path.write_text(json.dumps([1, 2, 3]))  # foreign/truncated file
     assert autotune.lookup(CFG, 4, jnp.float32, path=path) == {}
+
+
+def test_tune_and_save_includes_ragged(tmp_path):
+    """Round-2 verdict item 9: the ragged-vs-padded knee is measured and
+    cached, and resolve_kernels threads the winner through."""
+    from vit_with_opencl_tpu.perf import autotune
+
+    path = tmp_path / "tuning.json"
+    calls = []
+
+    def fake_timer(fn, args, iters):
+        calls.append(fn)
+        return float(len(calls))
+
+    result = autotune.tune_and_save(CFG, 4, dtype=jnp.float32, path=path,
+                                    timer=fake_timer)
+    assert result["attention_ragged"] in (True, False)
+    kern = vit.resolve_kernels("flash", tuning=result)
+    assert kern["attention_packed"].keywords["ragged"] == result[
+        "attention_ragged"]
+
+
+def test_tune_blockwise_blocks_interpret():
+    """Blockwise block-shape sweep mechanics (stub timer; interpret mode)."""
+    from vit_with_opencl_tpu.perf import autotune
+
+    seen = []
+
+    def timer(fn, args, iters):
+        out = np.asarray(fn(*args))
+        assert np.isfinite(out).all()
+        seen.append(1)
+        return float(len(seen))
+
+    (bq, bk), table = autotune.tune_blockwise_blocks(
+        1536, 32, batch_heads=2, dtype=jnp.float32,
+        candidates=((128, 128), (256, 256)), iters=1, timer=timer,
+    )
+    assert (bq, bk) == (128, 128)  # first candidate "wins" with stub timer
+    assert len(table) == 2
+    kern = vit.resolve_kernels(
+        "flash", tuning={"blockwise_block_q": bq, "blockwise_block_k": bk})
+    assert kern["attention_packed"].keywords["block_q"] == 128
+
+
+def test_tune_fused_linear_blocks_interpret():
+    from vit_with_opencl_tpu.perf import autotune
+
+    seen = []
+
+    def timer(fn, args, iters):
+        out = np.asarray(fn(*args))
+        assert out.shape == (64, 96)
+        seen.append(1)
+        return float(len(seen))
+
+    blocks, table = autotune.tune_fused_linear_blocks(
+        64, 48, 96, dtype=jnp.float32,
+        candidates=((128, 512, 512), (256, 512, 512)), iters=1, timer=timer,
+    )
+    assert blocks == (128, 512, 512)
+    assert len(table) == 2
+
+
+def test_device_kernel_table_from_trace(tmp_path):
+    """Per-kernel table parsed from a real jax.profiler trace — device (or
+    backend-op) event spans aggregated into the reference reporter's
+    totals/averages shape (ViT_opencl.c:1003-1048), replacing host
+    wall-clock attribution."""
+    from vit_with_opencl_tpu.perf import kernel_trace
+
+    @jax.jit
+    def f(a, b):
+        return jnp.tanh(a @ b).sum(axis=0)
+
+    a = jnp.ones((256, 256), jnp.float32)
+    b = jnp.ones((256, 256), jnp.float32)
+    table = kernel_trace.device_kernel_table(
+        f, (a, b), iters=2, trace_dir=str(tmp_path))
+    assert table, "no events parsed from the profiler trace"
+    assert all(s.total_ms >= 0 and s.calls >= 1 for s in table)
+    # sorted by total, descending
+    totals = [s.total_ms for s in table]
+    assert totals == sorted(totals, reverse=True)
+    text = kernel_trace.format_kernel_table(table, iters=2)
+    assert "kernel" in text and "avg ms" in text
+    assert table[0].name.split("(")[0][:12] in text

@@ -208,3 +208,57 @@ def test_dp_engine_batch_divisibility():
     params = fixtures.random_params(CFG, seed=3, scale=0.05)
     with pytest.raises(ValueError, match="not divisible"):
         DataParallelEngine(CFG, params, batch_size=3)
+
+
+def test_uint8_dp_serving_end_to_end():
+    """uint8 wire mode COMPOSED with data-parallel fan-out (round-2 verdict
+    item 7): raw pixels shard over the mesh and normalize on device."""
+    import jax
+
+    from vit_with_opencl_tpu.engine import DataParallelEngine
+    from vit_with_opencl_tpu.io.preprocess import IMAGENET_MEAN, IMAGENET_STD
+
+    assert len(jax.devices()) >= 8
+    params = fixtures.random_params(CFG, seed=2, scale=0.05)
+    engine = DataParallelEngine(
+        CFG, params, batch_size=8, param_dtype=jnp.float32,
+        compute_dtype=jnp.float32, normalize_uint8=True,
+    )
+    engine.warmup()
+    srv = serve.InferenceServer(engine, port=0, max_wait_ms=50.0)
+    srv.start_background()
+    try:
+        raw = np.random.default_rng(1).integers(
+            0, 256, (8, 3, CFG.img_size, CFG.img_size), np.uint8
+        )
+        got = serve.classify(raw, port=srv.address[1])
+        norm = (raw.astype(np.float32) / 255.0
+                - IMAGENET_MEAN.reshape(1, 3, 1, 1)
+                ) / IMAGENET_STD.reshape(1, 3, 1, 1)
+        want = _expected(params, norm.astype(np.float32))
+        assert [g[0] for g in got] == [w[0] for w in want]
+        for g, w in zip(got, want):
+            assert abs(g[1] - w[1]) < 1e-4
+        # float payload to a uint8 DP server → clean error, daemon survives
+        with pytest.raises(RuntimeError, match="does not match"):
+            serve.classify(norm.astype(np.float32), port=srv.address[1])
+        assert serve.stats(port=srv.address[1])["n_devices"] == 8
+    finally:
+        srv.shutdown()
+
+
+def test_dp_engine_uint8_dtype_guards():
+    from vit_with_opencl_tpu.engine import DataParallelEngine
+
+    params = fixtures.random_params(CFG, seed=3, scale=0.05)
+    eng = DataParallelEngine(CFG, params, batch_size=8,
+                             param_dtype=jnp.float32,
+                             compute_dtype=jnp.float32, normalize_uint8=True)
+    floats = np.zeros((8, 3, CFG.img_size, CFG.img_size), np.float32)
+    with pytest.raises(ValueError, match="expects raw"):
+        eng.run(floats)
+    eng_f = DataParallelEngine(CFG, params, batch_size=8,
+                               param_dtype=jnp.float32,
+                               compute_dtype=jnp.float32)
+    with pytest.raises(ValueError, match="preprocess first"):
+        eng_f.run(floats.astype(np.uint8))
