@@ -1,0 +1,81 @@
+"""Perf PROBE: training-step time per batch across backward implementations.
+
+Round 2 left training on the per-op XLA forward (the fused kernels had no
+VJP); round 3 added a custom VJP for the whole fused encoder layer
+(ops/fused_block.fused_encoder_layer_trainable). This measures the three
+training paths on the real chip:
+
+  xla    — per-op XLA forward, autodiff backward
+  flash  — Pallas packed attention in both directions (custom VJP)
+  fused  — whole encoder layer as ONE Pallas kernel in both directions
+           (rematerializing fused backward; x is the only residual/layer)
+
+Usage: python scripts/bench_train.py [config] [batch] [iters]
+"""
+from __future__ import annotations
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vit_with_opencl_tpu import get_config
+from vit_with_opencl_tpu.engine import enable_compilation_cache
+from vit_with_opencl_tpu.models import vit
+from vit_with_opencl_tpu.parallel import spmd
+
+
+def main():
+    enable_compilation_cache()
+    name = sys.argv[1] if len(sys.argv) > 1 else "vit_b_16_224"
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 128
+    iters = int(sys.argv[3]) if len(sys.argv) > 3 else 20
+    cfg = get_config(name)
+    mesh = spmd.make_mesh(data=1, model=1)
+
+    params = jax.jit(lambda: vit.cheap_stacked_params(cfg, jnp.float32))()
+    images = jax.jit(
+        lambda k: jax.random.normal(
+            k, (batch, cfg.in_chans, cfg.img_size, cfg.img_size),
+            jnp.float32)
+    )(jax.random.key(0))
+    labels = jnp.arange(batch) % cfg.num_classes
+    np.asarray(params["patch_b"][:1])
+    np.asarray(images[0, 0, 0, :1])
+
+    # Forward-only FLOPs per image; training ~3x (fwd + 2x bwd GEMMs), the
+    # rematerializing fused backward recomputes the forward: ~4x.
+    gflop_fwd = cfg.flops_per_image / 1e9
+
+    results = {}
+    for impl in ("xla", "flash", "fused"):
+        step = spmd.make_train_step(cfg, mesh, lr=1e-4,
+                                    compute_dtype=jnp.bfloat16,
+                                    attention_impl=impl)
+        t0 = time.perf_counter()
+        p, loss = step(params, images, labels)
+        np.asarray(loss)
+        compile_s = time.perf_counter() - t0
+        # Warm steady state.
+        p, loss = step(params, images, labels)
+        np.asarray(loss)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            p, loss = step(p, images, labels)
+        np.asarray(loss)
+        ms = (time.perf_counter() - t0) / iters * 1e3
+        results[impl] = ms
+        print(f"{impl:6s}: {ms:8.2f} ms/step  "
+              f"({batch / ms * 1e3:7.0f} img/s, loss {float(loss):.4f}, "
+              f"3x-fwd TF/s {3 * gflop_fwd * batch / ms:6.1f}, "
+              f"compile {compile_s:.0f}s)")
+
+    base = results["xla"]
+    for impl in ("flash", "fused"):
+        print(f"{impl} vs xla: {(base / results[impl] - 1) * 100:+.1f}%")
+
+
+if __name__ == "__main__":
+    main()

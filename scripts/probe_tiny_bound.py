@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from vit_with_opencl_tpu import get_config
+from vit_with_opencl_tpu import ViTConfig, get_config
 from vit_with_opencl_tpu.engine import enable_compilation_cache
 from vit_with_opencl_tpu.models import vit
 from vit_with_opencl_tpu.perf import profiler
@@ -25,7 +25,11 @@ def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 20
     name = sys.argv[3] if len(sys.argv) > 3 else "vit_tiny_16_224"
-    cfg = get_config(name)
+    if name == "d512":
+        # Same synthetic mid-size preset as probe_midsize.py.
+        cfg = ViTConfig(name="d512", embed_dim=512, depth=12, num_heads=8)
+    else:
+        cfg = get_config(name)
     params = vit.cheap_stacked_params(cfg)
     r = np.random.default_rng(0)
     images = jnp.asarray(

@@ -569,6 +569,11 @@ def make_train_step(config: ViTConfig, mesh: Mesh, *, lr: float = 1e-3,
             if fused_block.supports_trainable(
                 config, dtype_bytes=jnp.dtype(compute_dtype).itemsize
             ):
+                # fp32 master weights are safe here: the kernel wrappers cast
+                # the four matmul weights to the ACTIVATION dtype at the
+                # operand level (_weight_specs_operands), so bf16 compute
+                # keeps bf16 weights VMEM-resident while grads accumulate
+                # fp32 and flow back to the fp32 masters at full precision.
                 kernels["encoder_block"] = (
                     fused_block.fused_encoder_layer_trainable
                 )
