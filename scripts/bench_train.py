@@ -49,22 +49,31 @@ def main():
     # rematerializing fused backward recomputes the forward: ~4x.
     gflop_fwd = cfg.flops_per_image / 1e9
 
+    impls = tuple(sys.argv[4].split(",")) if len(sys.argv) > 4 else (
+        "xla", "flash", "fused")
     results = {}
-    for impl in ("xla", "flash", "fused"):
+    for impl in impls:
         step = spmd.make_train_step(cfg, mesh, lr=1e-4,
                                     compute_dtype=jnp.bfloat16,
                                     attention_impl=impl)
-        t0 = time.perf_counter()
-        p, loss = step(params, images, labels)
-        np.asarray(loss)
-        compile_s = time.perf_counter() - t0
-        # Warm steady state.
-        p, loss = step(params, images, labels)
-        np.asarray(loss)
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            p, loss = step(p, images, labels)
-        np.asarray(loss)
+        try:
+            t0 = time.perf_counter()
+            p, loss = step(params, images, labels)
+            np.asarray(loss)
+            compile_s = time.perf_counter() - t0
+            # Warm steady state.
+            p, loss = step(params, images, labels)
+            np.asarray(loss)
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                p, loss = step(p, images, labels)
+            np.asarray(loss)
+        except Exception as e:  # noqa: BLE001 — OOM is a DATA POINT here:
+            # the per-op backward materializes [B,H,T,T] fp32 score tensors
+            # that the flash/fused custom VJPs never allocate.
+            msg = str(e).split("\n")[0][:140]
+            print(f"{impl:6s}: FAILED {type(e).__name__}: {msg}")
+            continue
         ms = (time.perf_counter() - t0) / iters * 1e3
         results[impl] = ms
         print(f"{impl:6s}: {ms:8.2f} ms/step  "
@@ -72,9 +81,10 @@ def main():
               f"3x-fwd TF/s {3 * gflop_fwd * batch / ms:6.1f}, "
               f"compile {compile_s:.0f}s)")
 
-    base = results["xla"]
+    base = results.get("xla")
     for impl in ("flash", "fused"):
-        print(f"{impl} vs xla: {(base / results[impl] - 1) * 100:+.1f}%")
+        if base and impl in results:
+            print(f"{impl} vs xla: {(base / results[impl] - 1) * 100:+.1f}%")
 
 
 if __name__ == "__main__":

@@ -556,85 +556,133 @@ def _csum(x):
     return jnp.sum(x, axis=0, keepdims=True)
 
 
-def _layer_bwd_kernel(
-    x_ref, do_ref, ln1w_ref, ln1b_ref, qkvw_ref, qkvb_ref, outw_ref,
-    outb_ref, ln2w_ref, ln2b_ref, fc1w_ref, fc1b_ref, fc2w_ref, fc2b_ref,
-    dx_ref, dln1w_ref, dln1b_ref, dqkvw_ref, dqkvb_ref, doutw_ref,
-    doutb_ref, dln2w_ref, dln2b_ref, dfc1w_ref, dfc1b_ref, dfc2w_ref,
-    dfc2b_ref, *,
-    num_heads: int, head_dim: int, eps: float, images_per_cell: int,
-):
-    """Fused backward for one encoder layer (depth=1 weight refs).
+def _dot(a, bmat, contract=((1,), (1,))):
+    return jax.lax.dot_general(
+        a, bmat, (contract, ((), ())), preferred_element_type=jnp.float32
+    )
 
-    Recomputes the forward exactly as ``_block_kernel`` does — same casts,
-    same ``_gelu_fast``, same ``_head_attention`` — then walks the chain
-    backward per image. Nothing [T, T]-shaped or [T, H]-shaped touches HBM.
-    """
+
+def _attn_recompute(x0, ln1w, ln1b, qkvw, qkvb, *, eps, num_heads, head_dim,
+                    cdt):
+    """Forward recompute of the attention half from x0 (fp32 [T, D]) —
+    exactly ``_block_kernel``'s math/casts. Returns
+    (xhat1, inv1, h1c, qkvc, ctx)."""
+    scale = float(1.0 / np.sqrt(head_dim))
+    f32 = jnp.float32
+    xhat1, inv1, h1 = _ln_fwd_stats(x0, ln1w, ln1b, eps)
+    h1c = h1.astype(cdt)
+    qkv = _dot(h1c, qkvw.astype(cdt), ((1,), (0,)))
+    qkvc = (qkv + qkvb.astype(f32)).astype(cdt)
+    ctx_parts = []
+    for hh in range(num_heads):
+        qo, ko, vo = attention._packed_offsets("slab", hh, num_heads,
+                                               head_dim)
+        o, _ = attention._head_attention(
+            qkvc[:, qo:qo + head_dim], qkvc[:, ko:ko + head_dim],
+            qkvc[:, vo:vo + head_dim], scale,
+        )
+        ctx_parts.append(o.astype(cdt))
+    return xhat1, inv1, h1c, qkvc, jnp.concatenate(ctx_parts, axis=-1)
+
+
+# The backward runs as THREE lean kernels rather than one monolith. A single
+# whole-layer backward (weights + fp32 grad accumulators + both branches'
+# temporaries resident at once) measured 76.9 MB of scoped VMEM — over the
+# ~66 MB stack budget XLA grants the call inside the training while-loop
+# (vmem_limit_bytes raises Mosaic's own ceiling but not XLA's stack budget,
+# so the monolith failed to compile on TPU). Splitting at the residual
+# boundary keeps each kernel's resident set small (attn ≈ 20 MB,
+# MLP ≈ 40 MB at D=768) and costs only the attention-half recompute
+# (~0.3 extra forward = +10% FLOPs over the monolith's 3x).
+
+
+def _attn_half_fwd_kernel(
+    x_ref, ln1w_ref, ln1b_ref, qkvw_ref, qkvb_ref, outw_ref, outb_ref,
+    x2_ref, *, num_heads: int, head_dim: int, eps: float,
+    images_per_cell: int,
+):
+    """x → x2 = x + proj(attention(LN1(x))), x2 emitted fp32."""
+    cdt = x_ref.dtype
+    f32 = jnp.float32
+    for img in range(images_per_cell):
+        x0 = x_ref[img].astype(f32)
+        _, _, _, _, ctx = _attn_recompute(
+            x0, ln1w_ref[0], ln1b_ref[0], qkvw_ref[0], qkvb_ref[0],
+            eps=eps, num_heads=num_heads, head_dim=head_dim, cdt=cdt,
+        )
+        attn = _dot(ctx, outw_ref[0].astype(cdt), ((1,), (0,)))
+        x2_ref[img] = x0 + attn + outb_ref[0].astype(f32)
+
+
+def _mlp_bwd_kernel(
+    x2_ref, do_ref, ln2w_ref, ln2b_ref, fc1w_ref, fc1b_ref, fc2w_ref,
+    fc2b_ref, dx2_ref, dln2w_ref, dln2b_ref, dfc1w_ref, dfc1b_ref,
+    dfc2w_ref, dfc2b_ref, *, eps: float, cdt, images_per_cell: int,
+):
+    """MLP-branch backward from the fp32 residual x2; emits fp32 dx2."""
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for r in (dln2w_ref, dln2b_ref, dfc1w_ref, dfc1b_ref, dfc2w_ref,
+                  dfc2b_ref):
+            r[...] = jnp.zeros_like(r)
+
+    f32 = jnp.float32
+    for img in range(images_per_cell):
+        x2 = x2_ref[img]              # fp32 [T, D]
+        do = do_ref[img].astype(f32)  # [T, D]
+
+        xhat2, inv2, h2 = _ln_fwd_stats(x2, ln2w_ref[0], ln2b_ref[0], eps)
+        h2c = h2.astype(cdt)
+        hid_pre = _dot(h2c, fc1w_ref[0].astype(cdt), ((1,), (0,)))
+        hid_pre = hid_pre + fc1b_ref[0].astype(f32)  # [T, H] fp32
+        hidc = _gelu_fast(hid_pre).astype(cdt)
+
+        dmc = do.astype(cdt)
+        dfc2w_ref[...] += _dot(hidc, dmc, ((0,), (0,)))[None]
+        dfc2b_ref[...] += _csum(do)
+        dhid = _dot(dmc, fc2w_ref[0].astype(cdt))         # [T, H]
+        dhid_pre = dhid * _gelu_fast_grad(hid_pre)       # fp32
+        dhpc = dhid_pre.astype(cdt)
+        dfc1w_ref[...] += _dot(h2c, dhpc, ((0,), (0,)))[None]
+        dfc1b_ref[...] += _csum(dhid_pre)
+        dh2 = _dot(dhpc, fc1w_ref[0].astype(cdt))         # [T, D]
+        dx2_ln, dw_rows, db_rows = _ln_bwd(dh2, xhat2, inv2, ln2w_ref[0])
+        dln2w_ref[...] += _csum(dw_rows)
+        dln2b_ref[...] += _csum(db_rows)
+        dx2_ref[img] = do + dx2_ln
+
+
+def _attn_bwd_kernel(
+    x_ref, dx2_ref, ln1w_ref, ln1b_ref, qkvw_ref, qkvb_ref, outw_ref,
+    outb_ref, dx_ref, dln1w_ref, dln1b_ref, dqkvw_ref, dqkvb_ref,
+    doutw_ref, doutb_ref, *, num_heads: int, head_dim: int, eps: float,
+    images_per_cell: int,
+):
+    """Attention-branch backward: recomputes the half forward from x, walks
+    the chain back from fp32 dx2. Nothing [T, T]-shaped touches HBM."""
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
         for r in (dln1w_ref, dln1b_ref, dqkvw_ref, dqkvb_ref, doutw_ref,
-                  doutb_ref, dln2w_ref, dln2b_ref, dfc1w_ref, dfc1b_ref,
-                  dfc2w_ref, dfc2b_ref):
+                  doutb_ref):
             r[...] = jnp.zeros_like(r)
 
     scale = float(1.0 / np.sqrt(head_dim))
     cdt = x_ref.dtype
-    f32 = jnp.float32
+    for img in range(images_per_cell):
+        x0 = x_ref[img].astype(jnp.float32)  # [T, D]
+        dx2 = dx2_ref[img]                   # fp32 [T, D]
 
-    def mm(a, bmat, contract=((1,), (1,))):
-        return jax.lax.dot_general(
-            a, bmat, (contract, ((), ())), preferred_element_type=f32
+        xhat1, inv1, h1c, qkvc, ctx = _attn_recompute(
+            x0, ln1w_ref[0], ln1b_ref[0], qkvw_ref[0], qkvb_ref[0],
+            eps=eps, num_heads=num_heads, head_dim=head_dim, cdt=cdt,
         )
 
-    for img in range(images_per_cell):
-        x0 = x_ref[img].astype(f32)   # [T, D]
-        do = do_ref[img].astype(f32)  # [T, D]
-
-        # ---- forward recompute (mirrors _block_kernel, depth=1) ----
-        xhat1, inv1, h1 = _ln_fwd_stats(x0, ln1w_ref[0], ln1b_ref[0], eps)
-        h1c = h1.astype(cdt)
-        qkv = mm(h1c, qkvw_ref[0].astype(cdt), ((1,), (0,)))
-        qkvc = (qkv + qkvb_ref[0].astype(f32)).astype(cdt)
-        ctx_parts = []
-        for hh in range(num_heads):
-            qo, ko, vo = attention._packed_offsets("slab", hh, num_heads,
-                                                   head_dim)
-            o, _ = attention._head_attention(
-                qkvc[:, qo:qo + head_dim], qkvc[:, ko:ko + head_dim],
-                qkvc[:, vo:vo + head_dim], scale,
-            )
-            ctx_parts.append(o.astype(cdt))
-        ctx = jnp.concatenate(ctx_parts, axis=-1)  # [T, D] cdt
-        attn = mm(ctx, outw_ref[0].astype(cdt), ((1,), (0,)))
-        x2 = x0 + attn + outb_ref[0].astype(f32)
-        xhat2, inv2, h2 = _ln_fwd_stats(x2, ln2w_ref[0], ln2b_ref[0], eps)
-        h2c = h2.astype(cdt)
-        hid_pre = mm(h2c, fc1w_ref[0].astype(cdt), ((1,), (0,)))
-        hid_pre = hid_pre + fc1b_ref[0].astype(f32)  # [T, H] fp32
-        hidc = _gelu_fast(hid_pre).astype(cdt)
-
-        # ---- backward ----
-        # MLP branch: out = x2 + hid@W2 + b2
-        dmc = do.astype(cdt)
-        dfc2w_ref[...] += mm(hidc, dmc, ((0,), (0,)))[None]
-        dfc2b_ref[...] += _csum(do)
-        dhid = mm(dmc, fc2w_ref[0].astype(cdt))          # [T, H]
-        dhid_pre = dhid * _gelu_fast_grad(hid_pre)       # fp32
-        dhpc = dhid_pre.astype(cdt)
-        dfc1w_ref[...] += mm(h2c, dhpc, ((0,), (0,)))[None]
-        dfc1b_ref[...] += _csum(dhid_pre)
-        dh2 = mm(dhpc, fc1w_ref[0].astype(cdt))          # [T, D]
-        dx2_ln, dw_rows, db_rows = _ln_bwd(dh2, xhat2, inv2, ln2w_ref[0])
-        dln2w_ref[...] += _csum(dw_rows)
-        dln2b_ref[...] += _csum(db_rows)
-        dx2 = do + dx2_ln
-
-        # Attention branch: x2 = x0 + ctx@Wout + bout
         dac = dx2.astype(cdt)
-        doutw_ref[...] += mm(ctx, dac, ((0,), (0,)))[None]
+        doutw_ref[...] += _dot(ctx, dac, ((0,), (0,)))[None]
         doutb_ref[...] += _csum(dx2)
-        dctx = mm(dac, outw_ref[0].astype(cdt)).astype(cdt)  # [T, D]
+        dctx = _dot(dac, outw_ref[0].astype(cdt)).astype(cdt)  # [T, D]
         dq_parts, dk_parts, dv_parts = [], [], []
         for hh in range(num_heads):
             qo, ko, vo = attention._packed_offsets("slab", hh, num_heads,
@@ -644,22 +692,35 @@ def _layer_bwd_kernel(
             v = qkvc[:, vo:vo + head_dim]
             doh = dctx[:, hh * head_dim:(hh + 1) * head_dim]
             _, p = attention._head_attention(q, k, v, scale)
-            dp = mm(doh, v)                               # [T, T]
+            dp = _dot(doh, v)                              # [T, T]
             ds = p * (dp - jnp.sum(dp * p, axis=1, keepdims=True))
             ds = (ds * scale).astype(cdt)
-            dv_parts.append(mm(p.astype(cdt), doh, ((0,), (0,))))
-            dq_parts.append(mm(ds, k, ((1,), (0,))))
-            dk_parts.append(mm(ds, q, ((0,), (0,))))
+            dv_parts.append(_dot(p.astype(cdt), doh, ((0,), (0,))))
+            dq_parts.append(_dot(ds, k, ((1,), (0,))))
+            dk_parts.append(_dot(ds, q, ((0,), (0,))))
         # Slab packing: q heads | k heads | v heads.
         dqkv = jnp.concatenate(dq_parts + dk_parts + dv_parts, axis=-1)
         dqkv_c = dqkv.astype(cdt)                         # [T, 3D]
         dqkvb_ref[...] += _csum(dqkv)
-        dqkvw_ref[...] += mm(h1c, dqkv_c, ((0,), (0,)))[None]
-        dh1 = mm(dqkv_c, qkvw_ref[0].astype(cdt))         # [T, D]
+        dqkvw_ref[...] += _dot(h1c, dqkv_c, ((0,), (0,)))[None]
+        dh1 = _dot(dqkv_c, qkvw_ref[0].astype(cdt))        # [T, D]
         dx_ln1, dw_rows, db_rows = _ln_bwd(dh1, xhat1, inv1, ln1w_ref[0])
         dln1w_ref[...] += _csum(dw_rows)
         dln1b_ref[...] += _csum(db_rows)
         dx_ref[img] = (dx2 + dx_ln1).astype(dx_ref.dtype)
+
+
+def _wspec_ops(g, keys, d, hdim, x):
+    """(specs, operands) for a subset of the layer weights, matmul weights
+    cast to the activation dtype (bf16 residency under bf16 compute)."""
+    shapes = {"ln1_w": (1, d), "ln1_b": (1, d), "qkv_w": (1, d, 3 * d),
+              "qkv_b": (1, 3 * d), "out_w": (1, d, d), "out_b": (1, d),
+              "ln2_w": (1, d), "ln2_b": (1, d), "fc1_w": (1, d, hdim),
+              "fc1_b": (1, hdim), "fc2_w": (1, hdim, d), "fc2_b": (1, d)}
+    specs = [_whole(shapes[k]) for k in keys]
+    operands = [g[k].astype(x.dtype) if k.endswith("_w") and g[k].ndim == 3
+                else g[k] for k in keys]
+    return specs, operands
 
 
 def fused_encoder_layer_bwd(
@@ -673,8 +734,12 @@ def fused_encoder_layer_bwd(
 ):
     """Fused backward: (x [B,T,D], layer params, dOut [B,T,D]) → (dx, dlp).
 
-    Gradient leaves are cast to the primal leaf dtypes (JAX cotangent
-    contract); accumulation is fp32 throughout.
+    Three Pallas launches — attention-half forward recompute (x → fp32 x2),
+    MLP backward (x2, dOut → dx2 + MLP grads), attention backward
+    (x, dx2 → dx + attention grads) — so each kernel's resident set fits
+    the per-call VMEM stack budget. Gradient leaves are cast to the primal
+    leaf dtypes (JAX cotangent contract); accumulation is fp32 throughout;
+    x is the only residual the autodiff graph saves per layer.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -685,43 +750,82 @@ def fused_encoder_layer_bwd(
         ipc -= 1
 
     g = jax.tree.map(lambda a: a[None], lp)
-    w_specs, w_operands = _weight_specs_operands(g, 1, d, hdim, x, False)
-
-    kernel = functools.partial(
-        _layer_bwd_kernel, num_heads=config.num_heads,
-        head_dim=config.head_dim, eps=config.eps, images_per_cell=ipc,
-    )
-
     cell = pl.BlockSpec((ipc, t, d), lambda i: (i, 0, 0))
-    grad_keys = ("ln1_w", "ln1_b", "qkv_w", "qkv_b", "out_w", "out_b",
-                 "ln2_w", "ln2_b", "fc1_w", "fc1_b", "fc2_w", "fc2_b")
-    grad_shapes = [(1,) + np.shape(lp[k]) for k in grad_keys]
-    # Weights bf16-resident + fp32 grad accumulators + recompute temporaries.
-    wbytes = (d * 3 * d + d * d + 2 * d * hdim) * x.dtype.itemsize
-    vmem_limit = min(max(64 << 20, 3 * wbytes + (40 << 20)), 110 << 20)
+    f32 = jnp.float32
+    cdt = x.dtype
+    itemsize = x.dtype.itemsize
+    attn_keys = ("ln1_w", "ln1_b", "qkv_w", "qkv_b", "out_w", "out_b")
+    mlp_keys = ("ln2_w", "ln2_b", "fc1_w", "fc1_b", "fc2_w", "fc2_b")
+    attn_specs, attn_ops = _wspec_ops(g, attn_keys, d, hdim, x)
+    mlp_specs, mlp_ops = _wspec_ops(g, mlp_keys, d, hdim, x)
+    wb_attn = (d * 3 * d + d * d) * itemsize
+    wb_mlp = 2 * d * hdim * itemsize
+    params_attn = pltpu.CompilerParams(
+        dimension_semantics=("arbitrary",),
+        vmem_limit_bytes=min(max(64 << 20, 3 * wb_attn + (24 << 20)),
+                             110 << 20),
+    )
+    params_mlp = pltpu.CompilerParams(
+        dimension_semantics=("arbitrary",),
+        vmem_limit_bytes=min(max(64 << 20, 3 * wb_mlp + (24 << 20)),
+                             110 << 20),
+    )
+    grad_shape = {k: (1,) + np.shape(lp[k]) for k in attn_keys + mlp_keys}
 
-    outs = pl.pallas_call(
-        kernel,
-        grid=(b // ipc,),
-        in_specs=[cell, cell] + w_specs,
-        out_specs=[cell] + [_whole(s) for s in grad_shapes],
-        out_shape=[jax.ShapeDtypeStruct((b, t, d), x.dtype)]
-        + [jax.ShapeDtypeStruct(s, jnp.float32) for s in grad_shapes],
-        compiler_params=pltpu.CompilerParams(
-            # Sequential grid: grad outputs accumulate across cells via
-            # constant index maps (they stay VMEM-resident like the
-            # forward's weights).
-            dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=vmem_limit,
+    # 1) attention-half forward recompute: x → fp32 x2.
+    x2 = pl.pallas_call(
+        functools.partial(
+            _attn_half_fwd_kernel, num_heads=config.num_heads,
+            head_dim=config.head_dim, eps=config.eps, images_per_cell=ipc,
         ),
+        grid=(b // ipc,),
+        in_specs=[cell] + attn_specs,
+        out_specs=cell,
+        out_shape=jax.ShapeDtypeStruct((b, t, d), f32),
+        compiler_params=params_attn,
         interpret=interpret,
-    )(x, dout, *w_operands)
-    dx = outs[0]
-    dlp = {
-        k: outs[1 + i][0].astype(np.asarray(lp[k]).dtype if not hasattr(
-            lp[k], "dtype") else lp[k].dtype)
-        for i, k in enumerate(grad_keys)
-    }
+    )(x, *attn_ops)
+
+    # 2) MLP backward: (x2, dOut) → fp32 dx2 + MLP grads. Grad outputs use
+    # constant index maps, staying VMEM-resident to accumulate across the
+    # sequential batch grid (same trick as the forward's weights).
+    mlp_outs = pl.pallas_call(
+        functools.partial(_mlp_bwd_kernel, eps=config.eps, cdt=cdt,
+                          images_per_cell=ipc),
+        grid=(b // ipc,),
+        in_specs=[cell, cell] + mlp_specs,
+        out_specs=[cell] + [_whole(grad_shape[k]) for k in mlp_keys],
+        out_shape=[jax.ShapeDtypeStruct((b, t, d), f32)]
+        + [jax.ShapeDtypeStruct(grad_shape[k], f32) for k in mlp_keys],
+        compiler_params=params_mlp,
+        interpret=interpret,
+    )(x2, dout, *mlp_ops)
+    dx2 = mlp_outs[0]
+
+    # 3) attention backward: (x, dx2) → dx + attention grads.
+    attn_outs = pl.pallas_call(
+        functools.partial(
+            _attn_bwd_kernel, num_heads=config.num_heads,
+            head_dim=config.head_dim, eps=config.eps, images_per_cell=ipc,
+        ),
+        grid=(b // ipc,),
+        in_specs=[cell, cell] + attn_specs,
+        out_specs=[cell] + [_whole(grad_shape[k]) for k in attn_keys],
+        out_shape=[jax.ShapeDtypeStruct((b, t, d), x.dtype)]
+        + [jax.ShapeDtypeStruct(grad_shape[k], f32) for k in attn_keys],
+        compiler_params=params_attn,
+        interpret=interpret,
+    )(x, dx2, *attn_ops)
+    dx = attn_outs[0]
+
+    def leaf_dtype(k):
+        a = lp[k]
+        return a.dtype if hasattr(a, "dtype") else np.asarray(a).dtype
+
+    dlp = {k: mlp_outs[1 + i][0].astype(leaf_dtype(k))
+           for i, k in enumerate(mlp_keys)}
+    dlp.update({k: attn_outs[1 + i][0].astype(leaf_dtype(k))
+                for i, k in enumerate(attn_keys)})
     return dx, dlp
 
 
