@@ -103,6 +103,31 @@ def test_gspmd_train_step_runs_and_descends(setup):
     assert np.isfinite(float(loss))
 
 
+def test_grad_accum_matches_full_batch(setup):
+    """grad_accum=A is the full-batch update exactly (mean of equal-size
+    microbatch means), so one accumulated step must match one plain step."""
+    stacked, images, _ = setup
+    mesh = spmd.make_mesh(data=2, model=4)
+    labels = jnp.arange(8) % CFG.num_classes
+    imgs = jnp.asarray(images)
+    step1 = spmd.make_train_step(CFG, mesh, lr=1e-2)
+    step4 = spmd.make_train_step(CFG, mesh, lr=1e-2, grad_accum=4)
+    p1 = spmd.shard_params_gspmd(stacked, mesh, CFG)
+    p4 = spmd.shard_params_gspmd(stacked, mesh, CFG)
+    p1, loss1 = step1(p1, imgs, labels)
+    p4, loss4 = step4(p4, imgs, labels)
+    np.testing.assert_allclose(float(loss4), float(loss1), rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5
+        ),
+        p1, p4,
+    )
+    with pytest.raises(ValueError, match="not divisible"):
+        step_bad = spmd.make_train_step(CFG, mesh, lr=1e-2, grad_accum=3)
+        step_bad(p1, imgs, labels)
+
+
 def test_pipeline_forward_matches_golden(setup):
     from vit_with_opencl_tpu.parallel import pipeline
 

@@ -237,6 +237,68 @@ def cheap_stacked_params(
     return params
 
 
+def init_params(
+    config: ViTConfig,
+    seed: int = 0,
+    param_dtype: jnp.dtype = jnp.float32,
+) -> Params:
+    """Trainable from-scratch initialization (stacked layout).
+
+    ViT-paper scheme: truncated-normal(0.02) matmul weights and positional
+    embeddings, zero biases and class token, unit LNs, zero-init classifier
+    head (standard for stable fine-tune/scratch starts). Built entirely on
+    the HOST with numpy — callers transfer with one ``jax.device_put``
+    (eager per-tensor transfers are pathological on tunneled runtimes) —
+    and fp32 by default: training keeps fp32 masters and casts to the
+    compute dtype per step.
+    """
+    import ml_dtypes
+
+    rng = np.random.default_rng(seed)
+    f32 = np.float32
+    npdt = (ml_dtypes.bfloat16 if jnp.dtype(param_dtype) == jnp.bfloat16
+            else np.dtype(jnp.dtype(param_dtype).name))
+    d, h, L = config.embed_dim, config.hidden_dim, config.depth
+
+    def tnorm(shape, std=0.02, dtype=npdt):
+        a = rng.standard_normal(shape, f32)
+        np.clip(a, -2.0, 2.0, out=a)  # truncation at 2 sigma
+        return (a * std).astype(dtype)
+
+    params: Params = {
+        "prefix_tokens": np.zeros((config.num_prefix_tokens, d), f32),
+        "patch_w": tnorm((config.in_chans * config.patch_size**2, d)),
+        "patch_b": np.zeros((d,), f32),
+        "pos_emb": tnorm((config.num_tokens, d), dtype=f32),
+        "final_ln_w": np.ones((d,), f32),
+        "final_ln_b": np.zeros((d,), f32),
+    }
+    if config.pre_norm:
+        params["pre_ln_w"] = np.ones((d,), f32)
+        params["pre_ln_b"] = np.zeros((d,), f32)
+    if config.head_type != "none":
+        params["head_w"] = np.zeros((d, config.num_classes), npdt)
+        params["head_b"] = np.zeros((config.num_classes,), f32)
+    if config.head_type == "cls+dist":
+        params["head_dist_w"] = np.zeros((d, config.num_classes), npdt)
+        params["head_dist_b"] = np.zeros((config.num_classes,), f32)
+    params["layers"] = {
+        "ln1_w": np.ones((L, d), f32),
+        "ln1_b": np.zeros((L, d), f32),
+        "qkv_w": tnorm((L, d, 3 * d)),
+        "qkv_b": np.zeros((L, 3 * d), f32),
+        "out_w": tnorm((L, d, d)),
+        "out_b": np.zeros((L, d), f32),
+        "ln2_w": np.ones((L, d), f32),
+        "ln2_b": np.zeros((L, d), f32),
+        "fc1_w": tnorm((L, d, h)),
+        "fc1_b": np.zeros((L, h), f32),
+        "fc2_w": tnorm((L, h, d)),
+        "fc2_b": np.zeros((L, d), f32),
+    }
+    return params
+
+
 # ---------------------------------------------------------------------------
 # Ops (XLA path; Pallas variants live in ops/ and plug in via `kernels`)
 # ---------------------------------------------------------------------------

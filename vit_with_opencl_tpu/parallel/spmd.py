@@ -540,9 +540,16 @@ def dp_forward_fn(config: ViTConfig, mesh: Mesh, *, compute_dtype=jnp.bfloat16,
 
 def make_train_step(config: ViTConfig, mesh: Mesh, *, lr: float = 1e-3,
                     compute_dtype=jnp.float32, optimizer: str = "sgd",
-                    weight_decay: float = 0.05, attention_impl: str = "xla"):
+                    weight_decay: float = 0.05, attention_impl: str = "xla",
+                    grad_accum: int = 1):
     """Cross-entropy training step, jit over the mesh: batch sharded over
     "data", weights sharded over "model" (GSPMD inserts the collectives).
+
+    ``grad_accum=A`` splits the step's batch into A microbatches inside the
+    compiled program (``lax.scan``): activation memory drops to one
+    microbatch while grads accumulate in fp32, so effective batch scales
+    past what fits in HBM at once. The update is mathematically the
+    full-batch gradient (mean of equal-size microbatch means).
 
     ``optimizer``: "sgd" (stateless; step(params, images, labels)) or
     "adamw" (optax; returns (init_fn, step_fn) where step takes and returns
@@ -588,11 +595,46 @@ def make_train_step(config: ViTConfig, mesh: Mesh, *, lr: float = 1e-3,
         logp = jax.nn.log_softmax(logits, axis=-1)
         return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=-1))
 
+    if grad_accum < 1:
+        raise ValueError(f"grad_accum must be >= 1, got {grad_accum}")
+
+    def value_and_grads(params, images, labels):
+        if grad_accum == 1:
+            return jax.value_and_grad(loss_fn)(params, images, labels)
+        b = images.shape[0]
+        if b % grad_accum:
+            raise ValueError(
+                f"batch {b} not divisible by grad_accum={grad_accum}"
+            )
+        mb = b // grad_accum
+        mb_images = images.reshape((grad_accum, mb) + images.shape[1:])
+        mb_labels = labels.reshape((grad_accum, mb))
+
+        def body(carry, xs):
+            loss_acc, grads_acc = carry
+            imgs, labs = xs
+            loss, grads = jax.value_and_grad(loss_fn)(params, imgs, labs)
+            grads_acc = jax.tree.map(
+                lambda a, g: a + g.astype(jnp.float32), grads_acc, grads
+            )
+            return (loss_acc + loss, grads_acc), None
+
+        zeros = jax.tree.map(
+            lambda p: jnp.zeros(jnp.shape(p), jnp.float32), params
+        )
+        (loss_sum, grads_sum), _ = jax.lax.scan(
+            body, (jnp.zeros((), jnp.float32), zeros),
+            (mb_images, mb_labels),
+        )
+        inv = 1.0 / grad_accum
+        grads = jax.tree.map(lambda g: g * inv, grads_sum)
+        return loss_sum * inv, grads
+
     if optimizer == "sgd":
 
         @jax.jit
         def step(params, images, labels):
-            loss, grads = jax.value_and_grad(loss_fn)(params, images, labels)
+            loss, grads = value_and_grads(params, images, labels)
             new_params = jax.tree.map(
                 lambda p, g: (p - lr * g.astype(jnp.float32)).astype(p.dtype)
                 if jnp.issubdtype(p.dtype, jnp.floating)
@@ -612,11 +654,26 @@ def make_train_step(config: ViTConfig, mesh: Mesh, *, lr: float = 1e-3,
     tx = optax.adamw(lr, weight_decay=weight_decay)
 
     def init_fn(params):
-        return tx.init(params)
+        # jit so GSPMD propagates each param's sharding into its mu/nu
+        # moments (eager tx.init would land everything on device 0 and
+        # clash with mesh-sharded params at the first step). Leaves with no
+        # input lineage (e.g. the scalar step count) still come back
+        # single-device — replicate those over the mesh explicitly.
+        state = jax.jit(tx.init)(params)
+        mesh_devs = set(mesh.devices.flat)
+        replicated = NamedSharding(mesh, P())
+
+        def fix(x):
+            if (isinstance(x, jax.Array)
+                    and x.sharding.device_set != mesh_devs):
+                return jax.device_put(x, replicated)
+            return x
+
+        return jax.tree.map(fix, state)
 
     @jax.jit
     def step(params, opt_state, images, labels):
-        loss, grads = jax.value_and_grad(loss_fn)(params, images, labels)
+        loss, grads = value_and_grads(params, images, labels)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
