@@ -237,6 +237,13 @@ def _group_call(x: jax.Array, g, config: ViTConfig, depth: int,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((images_per_cell, t, d), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, t, d), x.dtype),
+        # Donate x's buffer to the output: inside the encoder scan the carry
+        # is dead after the call, so XLA drops the per-layer activation copy
+        # it otherwise inserts for the while-loop buffer (measured 0.24 ms x
+        # depth = ~5% of the ViT-B forward in the device trace). When x IS
+        # still live (e.g. the trainable path saves it as the VJP residual)
+        # XLA reinstates the copy — aliasing is a hint, never a hazard.
+        input_output_aliases={0: 0},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
             vmem_limit_bytes=vmem_limit,
@@ -469,6 +476,10 @@ def fused_encoder_stack(
         in_specs=in_specs,
         out_specs=pl.BlockSpec((images_per_cell, t_pad, d), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, t_pad, d), x.dtype),
+        # x is dead after the (single) stack launch — donate its buffer so
+        # XLA skips the defensive output allocation + copy (same rationale
+        # as _group_call's alias).
+        input_output_aliases={0: 0},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
             vmem_limit_bytes=vmem_limit,
