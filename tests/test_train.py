@@ -156,6 +156,46 @@ def test_trainer_descends_and_checkpoints(tmp_path):
     assert tr2.last_loss < first
 
 
+def test_trained_model_exports_to_reference_format(tmp_path):
+    """Full production loop: train from scratch (cosine schedule) → export
+    as a reference-format weight directory → reload through the reference
+    loader → the golden oracle reproduces the trained model's outputs."""
+    from vit_with_opencl_tpu.io import binfmt
+    from vit_with_opencl_tpu.models import golden
+
+    images, labels = _dataset(8)
+    tr = Trainer(CFG, lr=1e-2, optimizer="adamw", schedule="cosine",
+                 warmup_steps=2, total_steps=6, compute_dtype=jnp.float32,
+                 log_every=0)
+    tr.fit(data_mod.memory_dataset(images, labels, 8, epochs=None, seed=1),
+           steps=6)
+    files = tr.export_reference(str(tmp_path / "Network"))
+    assert len(files) == len(binfmt.weight_names(CFG))
+
+    loaded = binfmt.load_weights(tmp_path / "Network", CFG,
+                                 round_to_6dp=False, strict=True)
+    named = binfmt.weights_to_dict(loaded, CFG)
+    ref_probs = golden.golden_forward(images[:4], named, CFG)
+    host_params = jax.tree.map(np.asarray, tr.params)
+    train_probs = np.asarray(vit.forward(
+        images[:4], jax.device_put(host_params), CFG,
+        compute_dtype=jnp.float32))
+    np.testing.assert_allclose(ref_probs, train_probs, atol=2e-5)
+
+
+def test_unstack_params_roundtrip():
+    """unstack_params is the exact inverse of stack_params."""
+    named = fixtures.random_params(CFG, seed=11, scale=0.05)
+    stacked = vit.stack_params(named, CFG, param_dtype=jnp.float32)
+    back = vit.unstack_params(stacked, CFG)
+    from vit_with_opencl_tpu.io import binfmt
+
+    for name in binfmt.weight_names(CFG):
+        np.testing.assert_array_equal(
+            back[name], np.asarray(named[name], np.float32).reshape(
+                binfmt.weight_shapes(CFG)[name]), err_msg=name)
+
+
 def test_trainer_sgd_grad_accum(tmp_path):
     images, labels = _dataset(16)
     tr = Trainer(CFG, lr=1e-2, optimizer="sgd", compute_dtype=jnp.float32,

@@ -126,6 +126,72 @@ def stack_params(
     return params
 
 
+def unstack_params(params: Params, config: ViTConfig) -> Dict[str, np.ndarray]:
+    """Stacked pytree → {reference tensor name: fp32 array} (inverse of
+    :func:`stack_params`).
+
+    Undoes the right-multiply pre-transposition and the prefix-token
+    packing, restoring the PyTorch ``[out, in]`` layout the reference's
+    weight files store (io/binfmt.weight_shapes). This is what lets a
+    model trained here be written back as a reference-format checkpoint
+    (``io.export.export_weights``) and re-verified through the reference
+    comparator path.
+    """
+    f32 = np.float32
+    d = config.embed_dim
+
+    def h(x):  # host fp32 view
+        return np.asarray(x, f32)
+
+    prefix = h(params["prefix_tokens"]).reshape(config.num_prefix_tokens, d)
+    named: Dict[str, np.ndarray] = {
+        "class_token": prefix[0].reshape(d),
+        "conv_proj_weight": np.ascontiguousarray(h(params["patch_w"]).T)
+        .reshape(d, config.in_chans, config.patch_size, config.patch_size),
+        "conv_proj_bias": h(params["patch_b"]),
+        "encoder_pos_embedding": h(params["pos_emb"]),
+        "encoder_ln_weight": h(params["final_ln_w"]),
+        "encoder_ln_bias": h(params["final_ln_b"]),
+    }
+    if config.num_prefix_tokens > 1:
+        named["dist_token"] = prefix[1].reshape(d)
+    if config.pre_norm:
+        named["encoder_pre_ln_weight"] = h(params["pre_ln_w"])
+        named["encoder_pre_ln_bias"] = h(params["pre_ln_b"])
+    if config.head_type != "none":
+        named["heads_head_weight"] = np.ascontiguousarray(
+            h(params["head_w"]).T)
+        named["heads_head_bias"] = h(params["head_b"])
+    if config.head_type == "cls+dist":
+        named["heads_head_dist_weight"] = np.ascontiguousarray(
+            h(params["head_dist_w"]).T)
+        named["heads_head_dist_bias"] = h(params["head_dist_b"])
+
+    lp = params["layers"]
+    key_map = [
+        ("ln_1_weight", "ln1_w", False),
+        ("ln_1_bias", "ln1_b", False),
+        ("self_attention_in_proj_weight", "qkv_w", True),
+        ("self_attention_in_proj_bias", "qkv_b", False),
+        ("self_attention_out_proj_weight", "out_w", True),
+        ("self_attention_out_proj_bias", "out_b", False),
+        ("ln_2_weight", "ln2_w", False),
+        ("ln_2_bias", "ln2_b", False),
+        ("mlp_0_weight", "fc1_w", True),
+        ("mlp_0_bias", "fc1_b", False),
+        ("mlp_3_weight", "fc2_w", True),
+        ("mlp_3_bias", "fc2_b", False),
+    ]
+    for layer in range(config.depth):
+        pfx = f"encoder_layers_encoder_layer_{layer}_"
+        for ref_key, stk_key, transpose in key_map:
+            a = h(lp[stk_key][layer])
+            named[pfx + ref_key] = (
+                np.ascontiguousarray(a.T) if transpose else a
+            )
+    return named
+
+
 def random_stacked_params(
     config: ViTConfig,
     key: jax.Array,

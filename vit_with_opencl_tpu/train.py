@@ -50,6 +50,9 @@ class Trainer:
         *,
         mesh=None,
         lr: float = 1e-3,
+        schedule: Optional[str] = None,
+        warmup_steps: int = 0,
+        total_steps: Optional[int] = None,
         optimizer: str = "sgd",
         weight_decay: float = 0.05,
         compute_dtype=jnp.bfloat16,
@@ -71,6 +74,25 @@ class Trainer:
         self.log_every = log_every
         self.log_fn = log_fn
         self.step_idx = 0
+
+        if schedule is not None:
+            if optimizer != "adamw":
+                raise ValueError(
+                    "lr schedules ride optax's step count; use "
+                    "optimizer='adamw' (sgd here is the stateless step)"
+                )
+            import optax
+
+            if schedule == "cosine":
+                if not total_steps:
+                    raise ValueError("schedule='cosine' needs total_steps")
+                lr = optax.warmup_cosine_decay_schedule(
+                    0.0, lr, warmup_steps, total_steps)
+            elif schedule == "constant":
+                lr = optax.linear_schedule(
+                    0.0, lr, warmup_steps) if warmup_steps else lr
+            else:
+                raise ValueError(f"unknown schedule {schedule!r}")
 
         made = spmd.make_train_step(
             config, self.mesh, lr=lr, compute_dtype=compute_dtype,
@@ -125,6 +147,16 @@ class Trainer:
         self.opt_state = tree.get("opt_state")
         self.step_idx = int(tree["step"])
         return True
+
+    def export_reference(self, directory: str):
+        """Write the trained weights as a reference-format checkpoint
+        (``Weight_<idx>_<name>.bin`` directory) loadable by the CLI/engine
+        and the reference comparator path."""
+        from .io.export import export_weights
+
+        named = vit.unstack_params(
+            jax.tree.map(np.asarray, self.params), self.config)
+        return export_weights(named, directory, self.config)
 
     # -- the loop ---------------------------------------------------------
 
