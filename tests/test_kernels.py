@@ -728,9 +728,47 @@ def test_supports_trainable_gate():
 
     assert fused_block.supports_trainable(get_config("vit_b_16_224"))
     assert fused_block.supports_trainable(get_config("vit_tiny_16_224"))
-    # ViT-L's 25.2 MB/layer would put ~76 MB of weights+accumulators in
-    # VMEM before any temporaries — excluded.
-    assert not fused_block.supports_trainable(get_config("vit_l_16_384"))
+    # ViT-L/H qualify since the H-chunked MLP wgrad split: the MLP fp32
+    # accumulators no longer need to fit whole; only the attention-side
+    # residency gates (25.2 / 39.3 MB, both under the 52 MB budget).
+    assert fused_block.supports_trainable(get_config("vit_l_16_384"))
+    assert fused_block.supports_trainable(get_config("vit_h_14_224"))
+    assert fused_block._pick_mlp_chunks(1024, 4096, 2) == 2   # ViT-L
+    assert fused_block._pick_mlp_chunks(1280, 5120, 2) == 2   # ViT-H
+    assert fused_block._pick_mlp_chunks(768, 3072, 2) == 1    # ViT-B
+
+
+def test_fused_layer_bwd_mlp_chunked_matches_single():
+    """The H-chunked light/wgrad MLP backward (ViT-L/H path) must produce
+    the same gradients as the single-kernel path on identical inputs."""
+    from vit_with_opencl_tpu.harness import fixtures
+    from vit_with_opencl_tpu.models import vit as vitmod
+    from vit_with_opencl_tpu.ops import fused_block
+
+    cfg = ViTConfig(name="fch", img_size=32, patch_size=8, embed_dim=64,
+                    depth=1, num_heads=4, num_classes=9)
+    named = fixtures.random_params(cfg, seed=13, scale=0.05)
+    stacked = vitmod.stack_params(named, cfg, param_dtype=jnp.float32)
+    lp = jax.tree.map(lambda a: jnp.asarray(a[0]), stacked["layers"])
+    r = rng()
+    x = jnp.asarray(
+        r.standard_normal((3, cfg.num_tokens, cfg.embed_dim)), jnp.float32)
+    dout = jnp.asarray(
+        r.standard_normal((3, cfg.num_tokens, cfg.embed_dim)), jnp.float32)
+
+    dx1, dlp1 = fused_block.fused_encoder_layer_bwd(
+        x, lp, dout, cfg, mlp_chunks=1)
+    for nc in (2, 4):
+        dxn, dlpn = fused_block.fused_encoder_layer_bwd(
+            x, lp, dout, cfg, mlp_chunks=nc)
+        np.testing.assert_allclose(np.asarray(dxn), np.asarray(dx1),
+                                   atol=1e-5)
+        for key in dlp1:
+            np.testing.assert_allclose(
+                np.asarray(dlpn[key]), np.asarray(dlp1[key]), atol=1e-5,
+                err_msg=f"chunked ({nc}) grad mismatch for {key!r}")
+    with pytest.raises(ValueError, match="must divide"):
+        fused_block.fused_encoder_layer_bwd(x, lp, dout, cfg, mlp_chunks=7)
 
 
 # ---------------------------------------------------------------------------

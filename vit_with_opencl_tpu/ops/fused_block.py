@@ -664,6 +664,80 @@ def _mlp_bwd_kernel(
         dx2_ref[img] = do + dx2_ln
 
 
+# For big models (ViT-L/H) even the MLP-only backward's fp32 weight-grad
+# accumulators (2·D·H·4 B = 33.6 MB at L, 50.4 MB at H) blow the in-loop
+# VMEM stack budget. Split once more at the GELU boundary:
+#   M1 ("light"): everything EXCEPT the two big weight grads — dx2, LN2/bias
+#     grads — while streaming the recomputed hidden activations (hidc) and
+#     the GELU-side cotangent (dhpc) to HBM in bf16.
+#   M2 ("wgrad"): dfc1w/dfc2w only, chunked over H with grid (h_chunks,
+#     cells): the current chunk's fp32 accumulators stay VMEM-resident
+#     across the inner cell sweep (init at cell 0 of every chunk), so the
+#     accumulator footprint divides by the chunk count.
+# Cost: one extra HBM round trip of [B, T, H] bf16 ×2 streams (~0.4 ms/layer
+# at ViT-H bs32 vs ~3 ms/layer for the recompute-in-M2 alternative).
+
+
+def _mlp_light_bwd_kernel(
+    x2_ref, do_ref, ln2w_ref, ln2b_ref, fc1w_ref, fc1b_ref, fc2w_ref,
+    dx2_ref, hid_ref, dhp_ref, dln2w_ref, dln2b_ref, dfc1b_ref, dfc2b_ref,
+    *, eps: float, cdt, images_per_cell: int,
+):
+    """MLP backward minus the big weight grads; emits hidc/dhpc streams."""
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for r in (dln2w_ref, dln2b_ref, dfc1b_ref, dfc2b_ref):
+            r[...] = jnp.zeros_like(r)
+
+    f32 = jnp.float32
+    for img in range(images_per_cell):
+        x2 = x2_ref[img]              # fp32 [T, D]
+        do = do_ref[img].astype(f32)  # [T, D]
+
+        xhat2, inv2, h2 = _ln_fwd_stats(x2, ln2w_ref[0], ln2b_ref[0], eps)
+        h2c = h2.astype(cdt)
+        hid_pre = _dot(h2c, fc1w_ref[0].astype(cdt), ((1,), (0,)))
+        hid_pre = hid_pre + fc1b_ref[0].astype(f32)  # [T, H] fp32
+        hid_ref[img] = _gelu_fast(hid_pre).astype(cdt)
+
+        dmc = do.astype(cdt)
+        dfc2b_ref[...] += _csum(do)
+        dhid = _dot(dmc, fc2w_ref[0].astype(cdt))        # [T, H]
+        dhid_pre = dhid * _gelu_fast_grad(hid_pre)       # fp32
+        dhpc = dhid_pre.astype(cdt)
+        dhp_ref[img] = dhpc
+        dfc1b_ref[...] += _csum(dhid_pre)
+        dh2 = _dot(dhpc, fc1w_ref[0].astype(cdt))        # [T, D]
+        dx2_ln, dw_rows, db_rows = _ln_bwd(dh2, xhat2, inv2, ln2w_ref[0])
+        dln2w_ref[...] += _csum(dw_rows)
+        dln2b_ref[...] += _csum(db_rows)
+        dx2_ref[img] = do + dx2_ln
+
+
+def _mlp_wgrad_kernel(
+    x2_ref, do_ref, hid_ref, dhp_ref, ln2w_ref, ln2b_ref,
+    dfc1w_ref, dfc2w_ref, *, eps: float, cdt, images_per_cell: int,
+):
+    """dfc1w/dfc2w for ONE H-chunk, accumulated over the inner cell sweep.
+
+    h2c is recomputed from x2 per visit (an LN — VPU-only, free next to the
+    two grad GEMMs); hidc/dhpc arrive via the bf16 streams M1 wrote.
+    """
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        dfc1w_ref[...] = jnp.zeros_like(dfc1w_ref)
+        dfc2w_ref[...] = jnp.zeros_like(dfc2w_ref)
+
+    for img in range(images_per_cell):
+        _, _, h2 = _ln_fwd_stats(x2_ref[img], ln2w_ref[0], ln2b_ref[0], eps)
+        h2c = h2.astype(cdt)
+        dmc = do_ref[img].astype(cdt)
+        dfc1w_ref[...] += _dot(h2c, dhp_ref[img], ((0,), (0,)))[None]
+        dfc2w_ref[...] += _dot(hid_ref[img], dmc, ((0,), (0,)))[None]
+
+
 def _attn_bwd_kernel(
     x_ref, dx2_ref, ln1w_ref, ln1b_ref, qkvw_ref, qkvb_ref, outw_ref,
     outb_ref, dx_ref, dln1w_ref, dln1b_ref, dqkvw_ref, dqkvb_ref,
@@ -734,6 +808,30 @@ def _wspec_ops(g, keys, d, hdim, x):
     return specs, operands
 
 
+# MLP-backward resident ceiling (bf16 weights + fp32 grad accumulators) for
+# the SINGLE-kernel path; above it the light/wgrad split chunks the grads.
+# Derived from the measured ~66 MB in-loop stack budget minus headroom for
+# the [T, H] fp32 temporaries (ViT-B: 28.3 MB resident, fits; ViT-L's
+# 50.3 MB would leave nothing for T=577 temps — chunks).
+MLP_BWD_RESIDENT_BUDGET = 40 << 20
+# Per-H-chunk fp32 accumulator cap for the wgrad kernel.
+MLP_WGRAD_CHUNK_BUDGET = 32 << 20
+
+
+def _pick_mlp_chunks(d: int, hdim: int, itemsize: int) -> int:
+    """1 → single MLP-backward kernel; else the H-chunk count for the
+    light/wgrad split (smallest divisor of H whose fp32 accumulators fit)."""
+    if 2 * d * hdim * (itemsize + 4) <= MLP_BWD_RESIDENT_BUDGET:
+        return 1
+    for nc in (2, 3, 4, 5, 6, 8, 10, 16):
+        if hdim % nc == 0 and 2 * d * (hdim // nc) * 4 <= \
+                MLP_WGRAD_CHUNK_BUDGET:
+            return nc
+    raise ValueError(
+        f"no H-chunking of hidden_dim={hdim} fits the wgrad VMEM budget"
+    )
+
+
 def fused_encoder_layer_bwd(
     x: jax.Array,
     lp,
@@ -741,6 +839,7 @@ def fused_encoder_layer_bwd(
     config: ViTConfig,
     *,
     images_per_cell: int = 1,
+    mlp_chunks: int | None = None,
     interpret: bool | None = None,
 ):
     """Fused backward: (x [B,T,D], layer params, dOut [B,T,D]) → (dx, dlp).
@@ -748,9 +847,12 @@ def fused_encoder_layer_bwd(
     Three Pallas launches — attention-half forward recompute (x → fp32 x2),
     MLP backward (x2, dOut → dx2 + MLP grads), attention backward
     (x, dx2 → dx + attention grads) — so each kernel's resident set fits
-    the per-call VMEM stack budget. Gradient leaves are cast to the primal
-    leaf dtypes (JAX cotangent contract); accumulation is fp32 throughout;
-    x is the only residual the autodiff graph saves per layer.
+    the per-call VMEM stack budget. For ViT-L/H-class widths the MLP stage
+    itself splits into the light/wgrad pair (``_mlp_light_bwd_kernel`` /
+    ``_mlp_wgrad_kernel``) with H-chunked fp32 accumulators. Gradient
+    leaves are cast to the primal leaf dtypes (JAX cotangent contract);
+    accumulation is fp32 throughout; x is the only residual the autodiff
+    graph saves per layer.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -800,18 +902,82 @@ def fused_encoder_layer_bwd(
     # 2) MLP backward: (x2, dOut) → fp32 dx2 + MLP grads. Grad outputs use
     # constant index maps, staying VMEM-resident to accumulate across the
     # sequential batch grid (same trick as the forward's weights).
-    mlp_outs = pl.pallas_call(
-        functools.partial(_mlp_bwd_kernel, eps=config.eps, cdt=cdt,
-                          images_per_cell=ipc),
-        grid=(b // ipc,),
-        in_specs=[cell, cell] + mlp_specs,
-        out_specs=[cell] + [_whole(grad_shape[k]) for k in mlp_keys],
-        out_shape=[jax.ShapeDtypeStruct((b, t, d), f32)]
-        + [jax.ShapeDtypeStruct(grad_shape[k], f32) for k in mlp_keys],
-        compiler_params=params_mlp,
-        interpret=interpret,
-    )(x2, dout, *mlp_ops)
-    dx2 = mlp_outs[0]
+    if mlp_chunks is None:
+        mlp_chunks = _pick_mlp_chunks(d, hdim, itemsize)
+    if mlp_chunks == 1:
+        mlp_outs = pl.pallas_call(
+            functools.partial(_mlp_bwd_kernel, eps=config.eps, cdt=cdt,
+                              images_per_cell=ipc),
+            grid=(b // ipc,),
+            in_specs=[cell, cell] + mlp_specs,
+            out_specs=[cell] + [_whole(grad_shape[k]) for k in mlp_keys],
+            out_shape=[jax.ShapeDtypeStruct((b, t, d), f32)]
+            + [jax.ShapeDtypeStruct(grad_shape[k], f32) for k in mlp_keys],
+            compiler_params=params_mlp,
+            interpret=interpret,
+        )(x2, dout, *mlp_ops)
+        dx2 = mlp_outs[0]
+        mlp_grads = {k: mlp_outs[1 + i] for i, k in enumerate(mlp_keys)}
+    else:
+        if hdim % mlp_chunks:
+            raise ValueError(
+                f"mlp_chunks={mlp_chunks} must divide hidden_dim={hdim}"
+            )
+        hc = hdim // mlp_chunks
+        light_keys = ("ln2_w", "ln2_b", "fc1_w", "fc1_b", "fc2_w")
+        light_specs, light_ops = _wspec_ops(g, light_keys, d, hdim, x)
+        hid_cell = pl.BlockSpec((ipc, t, hdim), lambda i: (i, 0, 0))
+        small_keys = ("ln2_w", "ln2_b", "fc1_b", "fc2_b")
+        params_light = pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=min(wb_mlp + (48 << 20), 110 << 20),
+        )
+        light_outs = pl.pallas_call(
+            functools.partial(_mlp_light_bwd_kernel, eps=config.eps,
+                              cdt=cdt, images_per_cell=ipc),
+            grid=(b // ipc,),
+            in_specs=[cell, cell] + light_specs,
+            out_specs=[cell, hid_cell, hid_cell]
+            + [_whole(grad_shape[k]) for k in small_keys],
+            out_shape=[jax.ShapeDtypeStruct((b, t, d), f32),
+                       jax.ShapeDtypeStruct((b, t, hdim), cdt),
+                       jax.ShapeDtypeStruct((b, t, hdim), cdt)]
+            + [jax.ShapeDtypeStruct(grad_shape[k], f32)
+               for k in small_keys],
+            compiler_params=params_light,
+            interpret=interpret,
+        )(x2, dout, *light_ops)
+        dx2, hid_s, dhp_s = light_outs[0], light_outs[1], light_outs[2]
+        mlp_grads = {k: light_outs[3 + i] for i, k in enumerate(small_keys)}
+
+        chunk_grads = 2 * d * hc * 4
+        params_wgrad = pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=min(chunk_grads + (48 << 20), 110 << 20),
+        )
+        wg = pl.pallas_call(
+            functools.partial(_mlp_wgrad_kernel, eps=config.eps, cdt=cdt,
+                              images_per_cell=ipc),
+            grid=(mlp_chunks, b // ipc),
+            in_specs=[
+                pl.BlockSpec((ipc, t, d), lambda h, i: (i, 0, 0)),
+                pl.BlockSpec((ipc, t, d), lambda h, i: (i, 0, 0)),
+                pl.BlockSpec((ipc, t, hc), lambda h, i: (i, 0, h)),
+                pl.BlockSpec((ipc, t, hc), lambda h, i: (i, 0, h)),
+                pl.BlockSpec((1, d), lambda h, i: (0, 0)),
+                pl.BlockSpec((1, d), lambda h, i: (0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, d, hc), lambda h, i: (0, 0, h)),
+                pl.BlockSpec((1, hc, d), lambda h, i: (0, h, 0)),
+            ],
+            out_shape=[jax.ShapeDtypeStruct((1, d, hdim), f32),
+                       jax.ShapeDtypeStruct((1, hdim, d), f32)],
+            compiler_params=params_wgrad,
+            interpret=interpret,
+        )(x2, dout, hid_s, dhp_s, g["ln2_w"], g["ln2_b"])
+        mlp_grads["fc1_w"] = wg[0]
+        mlp_grads["fc2_w"] = wg[1]
 
     # 3) attention backward: (x, dx2) → dx + attention grads.
     attn_outs = pl.pallas_call(
@@ -833,8 +999,7 @@ def fused_encoder_layer_bwd(
         a = lp[k]
         return a.dtype if hasattr(a, "dtype") else np.asarray(a).dtype
 
-    dlp = {k: mlp_outs[1 + i][0].astype(leaf_dtype(k))
-           for i, k in enumerate(mlp_keys)}
+    dlp = {k: v[0].astype(leaf_dtype(k)) for k, v in mlp_grads.items()}
     dlp.update({k: attn_outs[1 + i][0].astype(leaf_dtype(k))
                 for i, k in enumerate(attn_keys)})
     return dx, dlp
@@ -868,12 +1033,13 @@ def fused_encoder_layer_trainable(x: jax.Array, lp, config: ViTConfig):
     return _fused_layer_diff(config, x, lp)
 
 
-# Per-layer bf16 weight cap for the TRAINABLE path: backward holds the four
-# matmul weights (bf16) PLUS their fp32 grad accumulators (2x the bytes)
-# resident, so the budget is ~3x the inference kernel's weight footprint.
-# ViT-B (14.2 MB -> ~43 MB resident) fits; ViT-L @384 (25.2 MB -> 76 MB +
-# [577, 4096] fp32 temporaries) does not.
-TRAINABLE_MAX_WEIGHT_BYTES = 17 << 20
+# Resident ceiling for the ATTENTION backward kernel: its weights
+# (activation dtype) + fp32 grad accumulators must fit the in-loop stack
+# budget together with the per-image temporaries. The MLP side no longer
+# gates anything — past MLP_BWD_RESIDENT_BUDGET it H-chunks automatically
+# (_pick_mlp_chunks), so ViT-L (25 MB attn-resident) and ViT-H (39 MB)
+# both qualify.
+TRAINABLE_ATTN_RESIDENT_BUDGET = 52 << 20
 
 
 def supports_trainable(config: ViTConfig, dtype_bytes: int = 2) -> bool:
@@ -881,5 +1047,11 @@ def supports_trainable(config: ViTConfig, dtype_bytes: int = 2) -> bool:
     if config.gelu_approx != "erf":
         return False
     d, h = config.embed_dim, config.hidden_dim
-    weight_bytes = (d * 3 * d + d * d + d * h + h * d) * dtype_bytes
-    return weight_bytes <= TRAINABLE_MAX_WEIGHT_BYTES
+    attn_resident = (d * 3 * d + d * d) * (dtype_bytes + 4)
+    if attn_resident > TRAINABLE_ATTN_RESIDENT_BUDGET:
+        return False
+    try:
+        _pick_mlp_chunks(d, h, dtype_bytes)
+    except ValueError:
+        return False
+    return True
