@@ -14,6 +14,7 @@ Usage: python scripts/bench_train.py [config] [batch] [iters]
 """
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -51,11 +52,16 @@ def main():
 
     impls = tuple(sys.argv[4].split(",")) if len(sys.argv) > 4 else (
         "xla", "flash", "fused")
+    # grad_accum > 1 keeps the TRACED batch at batch/accum: besides the usual
+    # memory scaling this slips under the tunnel relay's compile-helper limit
+    # (fresh D=768 training programs at bs>=16 crash it; bs8 compiles fine).
+    accum = int(os.environ.get("ACCUM", "1"))
     results = {}
     for impl in impls:
         step = spmd.make_train_step(cfg, mesh, lr=1e-4,
                                     compute_dtype=jnp.bfloat16,
-                                    attention_impl=impl)
+                                    attention_impl=impl,
+                                    grad_accum=accum)
         try:
             t0 = time.perf_counter()
             p, loss = step(params, images, labels)

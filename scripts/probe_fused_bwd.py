@@ -106,3 +106,43 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def scan_stages():
+    """Escalation: grad through scan(fused trainable layer), then the full
+    model loss — finds the context that crashes the relay compiler."""
+    enable_compilation_cache()
+    cfg = get_config("vit_b_16_224")
+    stages = sys.argv[2:] or ["scan", "model"]
+    params = jax.jit(lambda: vit.cheap_stacked_params(cfg, jnp.float32))()
+    np.asarray(params["patch_b"][:1])
+    key = jax.random.key(0)
+
+    if "scan" in stages:
+        x = jax.random.normal(key, (4, cfg.num_tokens, cfg.embed_dim),
+                              jnp.bfloat16)
+
+        def loss(layers, xx):
+            def body(h, lp):
+                return fb.fused_encoder_layer_trainable(h, lp, cfg), None
+            out, _ = jax.lax.scan(body, xx, layers)
+            return jnp.sum(out.astype(jnp.float32))
+
+        run("grad-scan-fused-12L", lambda ll, xx: jax.grad(loss)(ll, xx),
+            params["layers"], x)
+
+    if "model" in stages:
+        from vit_with_opencl_tpu.parallel import spmd
+        mesh = spmd.make_mesh(data=1, model=1)
+        step = spmd.make_train_step(cfg, mesh, lr=1e-4,
+                                    compute_dtype=jnp.bfloat16,
+                                    attention_impl="fused")
+        xi = jnp.ones((4, 3, 224, 224), jnp.float32)
+        yi = jnp.arange(4) % 1000
+        run("train-step-fused-bs4", lambda p, a, b2: step(p, a, b2)[1],
+            params, xi, yi)
+
+
+if __name__ == "__main__" and len(sys.argv) > 1 and sys.argv[1] == "scan":
+    scan_stages()
+    sys.exit(0)
