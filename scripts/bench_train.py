@@ -56,12 +56,16 @@ def main():
     # memory scaling this slips under the tunnel relay's compile-helper limit
     # (fresh D=768 training programs at bs>=16 crash it; bs8 compiles fine).
     accum = int(os.environ.get("ACCUM", "1"))
+    # UNROLL=depth replaces grad-through-while with a loop-free program —
+    # the other known dodge for the same compile-helper crash.
+    unroll = int(os.environ.get("UNROLL", "1"))
     results = {}
     for impl in impls:
         step = spmd.make_train_step(cfg, mesh, lr=1e-4,
                                     compute_dtype=jnp.bfloat16,
                                     attention_impl=impl,
-                                    grad_accum=accum)
+                                    grad_accum=accum,
+                                    scan_unroll=unroll)
         try:
             t0 = time.perf_counter()
             p, loss = step(params, images, labels)

@@ -128,6 +128,28 @@ def test_grad_accum_matches_full_batch(setup):
         step_bad(p1, imgs, labels)
 
 
+def test_scan_unroll_matches_default(setup):
+    """scan_unroll fully unrolls the encoder layer loop (the relay-compiler
+    dodge for grad-through-while at D>=768); the update must be identical."""
+    stacked, images, _ = setup
+    mesh = spmd.make_mesh(data=2, model=4)
+    labels = jnp.arange(8) % CFG.num_classes
+    imgs = jnp.asarray(images)
+    step1 = spmd.make_train_step(CFG, mesh, lr=1e-2)
+    stepu = spmd.make_train_step(CFG, mesh, lr=1e-2, scan_unroll=CFG.depth)
+    p1 = spmd.shard_params_gspmd(stacked, mesh, CFG)
+    pu = spmd.shard_params_gspmd(stacked, mesh, CFG)
+    p1, loss1 = step1(p1, imgs, labels)
+    pu, lossu = stepu(pu, imgs, labels)
+    np.testing.assert_allclose(float(lossu), float(loss1), rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5
+        ),
+        p1, pu,
+    )
+
+
 def test_pipeline_forward_matches_golden(setup):
     from vit_with_opencl_tpu.parallel import pipeline
 

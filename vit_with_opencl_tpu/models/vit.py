@@ -604,7 +604,12 @@ def encoder(x: jax.Array, params: Params, config: ViTConfig,
             h = h + _mlp_block(h, lp, config, kernels)
             return h, None
 
-    x, _ = jax.lax.scan(block, x, params["layers"])
+    # encoder_scan_unroll replicates the body inside the loop (full unroll
+    # when >= depth). The training path uses it to dodge a relay-compiler
+    # limitation: grad through while(fused Pallas layer) crashes the tunnel's
+    # compile helper at D>=768, while the loop-free unrolled program is fine.
+    unroll = kernels.get("encoder_scan_unroll", 1)
+    x, _ = jax.lax.scan(block, x, params["layers"], unroll=unroll)
     return x
 
 

@@ -541,7 +541,7 @@ def dp_forward_fn(config: ViTConfig, mesh: Mesh, *, compute_dtype=jnp.bfloat16,
 def make_train_step(config: ViTConfig, mesh: Mesh, *, lr: float = 1e-3,
                     compute_dtype=jnp.float32, optimizer: str = "sgd",
                     weight_decay: float = 0.05, attention_impl: str = "xla",
-                    grad_accum: int = 1):
+                    grad_accum: int = 1, scan_unroll: int = 1):
     """Cross-entropy training step, jit over the mesh: batch sharded over
     "data", weights sharded over "model" (GSPMD inserts the collectives).
 
@@ -586,6 +586,10 @@ def make_train_step(config: ViTConfig, mesh: Mesh, *, lr: float = 1e-3,
                 )
     else:
         kernels = vit.resolve_kernels(attention_impl)
+    if scan_unroll > 1:
+        # Unrolling the encoder layer loop trades program size for dodging
+        # grad-through-while; see models/vit.encoder.
+        kernels["encoder_scan_unroll"] = scan_unroll
 
     def loss_fn(params, images, labels):
         logits = vit.forward(
