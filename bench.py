@@ -50,6 +50,9 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", "256"))
     iters = int(os.environ.get("BENCH_ITERS", "50"))
     attention_impl = os.environ.get("BENCH_ATTN", "flash")
+    quant_mode = os.environ.get("BENCH_QUANT")  # None | int8 | int8-w8a8
+    if quant_mode not in (None, "", "int8", "int8-w8a8"):
+        raise SystemExit(f"unknown BENCH_QUANT {quant_mode!r}")
 
     dev = jax.devices()[0]
     gen = os.environ.get("PALLAS_AXON_TPU_GEN", "v5e")
@@ -63,9 +66,17 @@ def main():
     # inside single jit programs with a cheap iota hash: per-op eager
     # dispatch, and threefry over 90M elements, both blow up compile time
     # under the tunneled runtime.
-    params = jax.jit(
-        lambda: vit.cheap_stacked_params(cfg, jnp.bfloat16)
-    )()
+    if quant_mode:
+        from vit_with_opencl_tpu.models import quant
+
+        params = jax.jit(
+            lambda: quant.quantize_stacked_params_device(
+                vit.cheap_stacked_params(cfg, jnp.bfloat16), cfg)
+        )()
+    else:
+        params = jax.jit(
+            lambda: vit.cheap_stacked_params(cfg, jnp.bfloat16)
+        )()
     images = jax.jit(
         lambda k: jax.random.normal(
             k, (batch, cfg.in_chans, cfg.img_size, cfg.img_size), jnp.float32
@@ -82,7 +93,8 @@ def main():
     print(f"param/input gen+materialize: {time.perf_counter() - t0:.1f}s",
           file=sys.stderr)
 
-    kernels = vit.resolve_kernels(attention_impl)
+    kernels = vit.resolve_kernels(attention_impl,
+                                  w8a8=quant_mode == "int8-w8a8")
     if cfg.head_type == "none":
         # Bare tower (CLIP vision trunk): benchmark feature extraction.
         fwd = jax.jit(
@@ -193,8 +205,9 @@ def main():
         print(f"parity: max abs err vs golden = {err:.2e} "
               f"({'OK' if err < 1e-3 else 'FAIL'} vs 1e-3 gate)", file=sys.stderr)
 
+    dtype_tag = quant_mode if quant_mode else "bf16"
     record = {
-        "metric": f"images/sec/chip ({cfg.name}, bf16, batch={batch})",
+        "metric": f"images/sec/chip ({cfg.name}, {dtype_tag}, batch={batch})",
         "value": round(imgs_per_sec, 1),
         "unit": "images/sec",
         "vs_baseline": round(imgs_per_sec / target, 4),

@@ -65,8 +65,11 @@ def main(argv=None) -> int:
     parser.add_argument("--attention", choices=["xla", "flash", "fused_block"], default="xla",
                         help="attention core: XLA einsum chain or the fused "
                         "Pallas flash kernel")
-    parser.add_argument("--quantize", choices=["int8"], default=None,
-                        help="weight-only quantization for the tpu backend")
+    parser.add_argument("--quantize", choices=["int8", "int8-w8a8"],
+                        default=None,
+                        help="int8 quantization for the tpu backend: weight-"
+                        "only (bf16 MXU) or w8a8 (dynamic int8 activations "
+                        "on the double-rate int8 MXU path)")
     parser.add_argument("--no-round-weights", action="store_true",
                         help="skip the reference's 6-decimal weight rounding")
     parser.add_argument("--print-labels", action="store_true",

@@ -88,9 +88,12 @@ class InferenceEngine:
         self.device = device if device is not None else jax.devices()[0]
         t0 = time.perf_counter()
         params = vit.stack_params(named_params, config, param_dtype=param_dtype)
-        if quantize == "int8":
+        if quantize in ("int8", "int8-w8a8"):
             # Weight-only int8 (models/quant.py): halves weight HBM footprint
-            # and upload traffic; compute stays on the bf16 MXU.
+            # and upload traffic; compute stays on the bf16 MXU. "int8-w8a8"
+            # additionally quantizes activations per token at runtime so the
+            # encoder's big GEMMs run int8xint8 on the MXU's double-rate int
+            # path (measured 1.79x bf16, scripts/probe_int8.py).
             from .models import quant
 
             params = quant.quantize_stacked_params(params, config)
@@ -106,7 +109,8 @@ class InferenceEngine:
         self.tuning = autotune.lookup(
             config, self.batch_size, compute_dtype, path=tuning_path
         )
-        kernels = vit.resolve_kernels(attention_impl, tuning=self.tuning)
+        kernels = vit.resolve_kernels(attention_impl, tuning=self.tuning,
+                                      w8a8=quantize == "int8-w8a8")
 
         self.normalize_uint8 = normalize_uint8
         if normalize_uint8:
@@ -236,7 +240,7 @@ class DataParallelEngine:
         self.mesh = spmd.make_mesh(data=self.n_devices, model=1,
                                    devices=devices)
         params = vit.stack_params(named_params, config, param_dtype=param_dtype)
-        if quantize == "int8":
+        if quantize in ("int8", "int8-w8a8"):
             from .models import quant
 
             params = quant.quantize_stacked_params(params, config)
@@ -248,7 +252,8 @@ class DataParallelEngine:
 
         tuning = autotune.lookup(config, self.batch_size // self.n_devices,
                                  compute_dtype, path=tuning_path)
-        kernels = vit.resolve_kernels(attention_impl, tuning=tuning)
+        kernels = vit.resolve_kernels(attention_impl, tuning=tuning,
+                                      w8a8=quantize == "int8-w8a8")
         self._data_sharding = NamedSharding(self.mesh, P(("data", "model")))
 
         self.normalize_uint8 = normalize_uint8

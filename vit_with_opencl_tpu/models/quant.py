@@ -66,6 +66,81 @@ def quantize_stacked_params(params: Dict[str, Any], config: ViTConfig) -> Dict[s
     return out
 
 
+def quantize_weight_device(w: jax.Array) -> Dict[str, jax.Array]:
+    """jnp twin of ``quantize_weight`` for on-device use (e.g. bench.py's
+    synthetic weights, where a host round trip of ViT-sized tensors through
+    the tunneled runtime costs minutes)."""
+    wf = w.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(wf), axis=-2, keepdims=True)
+    scale = absmax * jnp.float32(1 / 127)
+    safe = jnp.where(scale == 0.0, 1.0, scale)
+    q = jnp.clip(jnp.round(wf / safe), -127, 127).astype(jnp.int8)
+    return {"q": q, "scale": scale}
+
+
+def quantize_stacked_params_device(params: Dict[str, Any],
+                                   config: ViTConfig) -> Dict[str, Any]:
+    """Device-side (jit-able) twin of ``quantize_stacked_params``."""
+    out = dict(params)
+    for key in _TOP_MATMUL_KEYS:
+        if key in out:
+            out[key] = quantize_weight_device(out[key])
+    layers = dict(params["layers"])
+    for key in _LAYER_MATMUL_KEYS:
+        layers[key] = quantize_weight_device(layers[key])
+    out["layers"] = layers
+    return out
+
+
+def quantize_act(x: jax.Array):
+    """Dynamic per-token symmetric activation quantization.
+
+    x [..., D] (any float dtype) → (int8 [..., D], fp32 scale [..., 1]) with
+    scale = rowwise absmax / 127. Exact zero rows get scale 2^-100 (any
+    nonzero value works — the quantized row is all zeros either way) so the
+    divide never produces NaN.
+    """
+    xf = x.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    scale = jnp.maximum(absmax, jnp.float32(2.0 ** -93)) * jnp.float32(1 / 127)
+    q = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def matmul_w8a8(x: jax.Array, w: Any, b: Any) -> jax.Array:
+    """W8A8 dynamic matmul: int8 activations × int8 weights on the MXU.
+
+    The v5e MXU runs int8×int8→int32 at 2× the bf16 rate (measured 1.79×
+    chained on this chip, scripts/probe_int8.py) — weight-only int8 gets
+    none of that because it casts to bf16 on the way in. Here the activation
+    is quantized per token at runtime (absmax symmetric), the GEMM runs in
+    the int domain with int32 accumulation, and the two scales come back as
+    one fp32 epilogue:
+
+        y = (x_q @ w_q) · s_x ⊗ s_w   (+ b)
+
+    Weights must already be int8 dicts (quantize_stacked_params); fp weights
+    fall back to the bf16 path — W8A8 with fp weights would quantize weights
+    per call, paying the conversion every step.
+    """
+    if not is_quantized(w):
+        return matmul_q(x, w, b)
+    if w["q"].ndim != 2:
+        raise ValueError(
+            f"matmul_w8a8 expects a single layer's 2D weight, got q shape "
+            f"{w['q'].shape}"
+        )
+    xq, sx = quantize_act(x)
+    acc = jax.lax.dot_general(
+        xq, w["q"], (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    out = acc.astype(jnp.float32) * sx * w["scale"][..., 0, :]
+    if b is not None:
+        out = out + b
+    return out.astype(x.dtype)
+
+
 def matmul_q(x: jax.Array, w: Any, b: Any, compute_dtype=None) -> jax.Array:
     """Quantization-aware matmul: transparently handles fp and int8 weights.
 

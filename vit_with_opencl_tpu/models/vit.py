@@ -464,7 +464,8 @@ def _default_kernels() -> Dict[str, Any]:
 
 
 def resolve_kernels(attention_impl: str = "xla",
-                    tuning: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
+                    tuning: Optional[Dict[str, Any]] = None,
+                    w8a8: bool = False) -> Dict[str, Any]:
     """Kernel table for the forward pass.
 
     ``attention_impl``:
@@ -511,6 +512,18 @@ def resolve_kernels(attention_impl: str = "xla",
             kernels["fused_stack_ipc"] = int(tuning["fused_stack_ipc"])
     elif attention_impl != "xla":
         raise ValueError(f"unknown attention_impl {attention_impl!r}")
+    if w8a8:
+        # Dynamic-int8 activations into the encoder's four big GEMMs: the
+        # int8 MXU path runs ~1.8x the bf16 rate (scripts/probe_int8.py).
+        # Requires int8 weight dicts (fp weights fall back per-matmul).
+        # Embed/head/attention-core stay bf16 — together <8% of MACs, and
+        # they anchor the accuracy budget.
+        from . import quant
+
+        kernels["matmul"] = quant.matmul_w8a8
+        kernels["matmul_gelu"] = (
+            lambda x, w, b, cfg: _gelu(quant.matmul_w8a8(x, w, b), cfg))
+        kernels["w8a8"] = True
     return kernels
 
 
@@ -569,20 +582,21 @@ def encoder(x: jax.Array, params: Params, config: ViTConfig,
         wdtype_bytes = (1 if quantized
                         else np.dtype(params["layers"]["qkv_w"].dtype).itemsize)
         gs = kernels.get("fused_group_size")
+        w8a8 = bool(kernels.get("w8a8")) and quantized
         if (gs and gs > 1 and config.depth % gs == 0
                 and fused_block.supports(config, dtype_bytes=wdtype_bytes)):
             # Explicit layer-group override: scan over groups of gs fused
             # layers — residual-stream HBM round trips paid once per group.
             return fused_block.fused_encoder_group(
                 x, params["layers"], config, group_size=gs,
-                images_per_cell=kernels.get("fused_block_ipc"),
+                images_per_cell=kernels.get("fused_block_ipc"), w8a8=w8a8,
             )
         if fused_block.supports_stack(config, dtype_bytes=wdtype_bytes):
             # Small models: the COMPLETE weight stack fits VMEM — run every
             # layer in one launch (no inter-layer HBM round trips at all).
             return fused_block.fused_encoder_stack(
                 x, params["layers"], config,
-                images_per_cell=kernels.get("fused_stack_ipc"),
+                images_per_cell=kernels.get("fused_stack_ipc"), w8a8=w8a8,
             )
         if fused_block.supports(config, dtype_bytes=wdtype_bytes):
             import functools as _ft
@@ -590,7 +604,7 @@ def encoder(x: jax.Array, params: Params, config: ViTConfig,
             kernels = dict(kernels)
             kernels["encoder_block"] = _ft.partial(
                 fused_block.fused_encoder_layer,
-                images_per_cell=kernels.get("fused_block_ipc"),
+                images_per_cell=kernels.get("fused_block_ipc"), w8a8=w8a8,
             )
             use_block = True
     if use_block:

@@ -78,10 +78,24 @@ def _whole(shape):
     return pl.BlockSpec(shape, lambda i, _z=zeros: _z)
 
 
-def _mm(h, w_ref, l, s_ref):
+def _mm(h, w_ref, l, s_ref, w8a8=False):
     """Matmul against layer ``l`` of a resident weight ref; int8 weights are
     cast into the MXU dtype and the per-output-channel fp32 scale (if any)
-    is applied to the accumulator (models/quant.matmul_q semantics)."""
+    is applied to the accumulator (models/quant.matmul_q semantics).
+
+    ``w8a8``: quantize ``h`` per token (absmax symmetric) and run the GEMM
+    int8×int8→int32 — the MXU's double-rate int path (models/quant.
+    matmul_w8a8 semantics; measured 1.79× bf16, scripts/probe_int8.py).
+    The token scale joins the weight's channel scale in the fp32 epilogue.
+    """
+    if w8a8:
+        hf = h.astype(jnp.float32)
+        sx = jnp.maximum(jnp.max(jnp.abs(hf), -1, keepdims=True),
+                         jnp.float32(2.0 ** -93)) * jnp.float32(1 / 127)
+        hq = jnp.clip(jnp.round(hf / sx), -127, 127).astype(jnp.int8)
+        acc = jax.lax.dot_general(hq, w_ref[l], (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+        return acc.astype(jnp.float32) * sx * s_ref[l]
     acc = jnp.dot(h, w_ref[l].astype(h.dtype),
                   preferred_element_type=jnp.float32)
     if s_ref is not None:
@@ -138,7 +152,7 @@ def _block_kernel(
     x_ref, ln1w_ref, ln1b_ref, qkvw_ref, qkvb_ref, outw_ref, outb_ref,
     ln2w_ref, ln2b_ref, fc1w_ref, fc1b_ref, fc2w_ref, fc2b_ref, *rest,
     num_heads: int, head_dim: int, eps: float, images_per_cell: int,
-    depth: int = 1, quantized: bool = False,
+    depth: int = 1, quantized: bool = False, w8a8: bool = False,
 ):
     """``depth`` consecutive layers per launch, per-image [T, D] GEMMs.
 
@@ -162,8 +176,10 @@ def _block_kernel(
     for img in range(images_per_cell):
         x = x_ref[img].astype(jnp.float32)  # [T, D]
         for l in range(depth):  # static unroll keeps weights VMEM-resident
-            h = _ln(x, ln1w_ref[l], ln1b_ref[l], eps).astype(x_ref.dtype)
-            qkv = _mm(h, qkvw_ref, l, qs)
+            h = _ln(x, ln1w_ref[l], ln1b_ref[l], eps)
+            if not w8a8:  # w8a8 quantizes from the fp32 LN output directly
+                h = h.astype(x_ref.dtype)
+            qkv = _mm(h, qkvw_ref, l, qs, w8a8)
             qkv = (qkv + qkvb_ref[l].astype(jnp.float32)).astype(x_ref.dtype)
             ctx_parts = []
             for hh in range(num_heads):
@@ -175,13 +191,16 @@ def _block_kernel(
                 )
                 ctx_parts.append(o.astype(x_ref.dtype))
             ctx = jnp.concatenate(ctx_parts, axis=-1)  # [T, D]
-            attn = _mm(ctx, outw_ref, l, os_)
+            attn = _mm(ctx, outw_ref, l, os_, w8a8)
             x = x + attn + outb_ref[l].astype(jnp.float32)  # residual 1
-            h = _ln(x, ln2w_ref[l], ln2b_ref[l], eps).astype(x_ref.dtype)
-            hid = _mm(h, fc1w_ref, l, f1s)
+            h = _ln(x, ln2w_ref[l], ln2b_ref[l], eps)
+            if not w8a8:
+                h = h.astype(x_ref.dtype)
+            hid = _mm(h, fc1w_ref, l, f1s, w8a8)
             hid = hid + fc1b_ref[l].astype(jnp.float32)
             hid = _gelu_fast(hid)
-            mlp = _mm(hid.astype(x_ref.dtype), fc2w_ref, l, f2s)
+            mlp = _mm(hid if w8a8 else hid.astype(x_ref.dtype),
+                      fc2w_ref, l, f2s, w8a8)
             x = x + mlp + fc2b_ref[l].astype(jnp.float32)  # residual 2
         o_ref[img] = x.astype(o_ref.dtype)
 
@@ -203,7 +222,8 @@ FUSED_BLOCK_MAX_WEIGHT_BYTES = 40 << 20
 
 
 def _group_call(x: jax.Array, g, config: ViTConfig, depth: int,
-                images_per_cell: int, interpret: bool) -> jax.Array:
+                images_per_cell: int, interpret: bool,
+                w8a8: bool = False) -> jax.Array:
     """pallas_call for ``depth`` layers; ``g`` leaves carry a [depth] axis.
 
     Matmul weight leaves may be int8 quantized dicts ({"q", "scale"},
@@ -220,7 +240,7 @@ def _group_call(x: jax.Array, g, config: ViTConfig, depth: int,
     kernel = functools.partial(
         _block_kernel, num_heads=config.num_heads, head_dim=config.head_dim,
         eps=config.eps, images_per_cell=images_per_cell, depth=depth,
-        quantized=quantized,
+        quantized=quantized, w8a8=w8a8 and quantized,
     )
 
     vmem_limit = _vmem_limit(depth, d, hdim,
@@ -259,6 +279,7 @@ def fused_encoder_layer(
     *,
     images_per_cell: int | None = None,
     interpret: bool | None = None,
+    w8a8: bool = False,
 ) -> jax.Array:
     """One pre-LN encoder layer, fully fused. x: [B, T, D] → [B, T, D].
 
@@ -275,7 +296,7 @@ def fused_encoder_layer(
     while b % images_per_cell:
         images_per_cell -= 1
     g = jax.tree.map(lambda a: a[None], lp)
-    return _group_call(x, g, config, 1, images_per_cell, interpret)
+    return _group_call(x, g, config, 1, images_per_cell, interpret, w8a8)
 
 
 def fused_encoder_group(
@@ -286,6 +307,7 @@ def fused_encoder_group(
     group_size: int,
     images_per_cell: int | None = None,
     interpret: bool | None = None,
+    w8a8: bool = False,
 ) -> jax.Array:
     """The encoder as a scan over groups of ``group_size`` fused layers.
 
@@ -316,7 +338,7 @@ def fused_encoder_group(
     )
 
     def step(h, g):
-        return _group_call(h, g, config, group_size, ipc, interpret), None
+        return _group_call(h, g, config, group_size, ipc, interpret, w8a8), None
 
     x, _ = jax.lax.scan(step, x, grouped)
     return x
@@ -351,6 +373,7 @@ def _stack_kernel(
     ln2w_ref, ln2b_ref, fc1w_ref, fc1b_ref, fc2w_ref, fc2b_ref, *rest,
     depth: int, num_heads: int, head_dim: int, eps: float,
     images_per_cell: int, seq_len: int, quantized: bool = False,
+    w8a8: bool = False,
 ):
     """All layers, with the cell's images MERGED into the GEMM M dimension.
 
@@ -382,8 +405,10 @@ def _stack_kernel(
 
     x = x_ref[...].reshape(ipc * t_pad, d).astype(jnp.float32)
     for l in range(depth):  # static unroll: weights stay VMEM-resident
-        h = _ln(x, ln1w_ref[l], ln1b_ref[l], eps).astype(x_ref.dtype)
-        qkv = _mm(h, qkvw_ref, l, qs)
+        h = _ln(x, ln1w_ref[l], ln1b_ref[l], eps)
+        if not w8a8:  # w8a8 quantizes from the fp32 LN output directly
+            h = h.astype(x_ref.dtype)
+        qkv = _mm(h, qkvw_ref, l, qs, w8a8)
         qkv = (qkv + qkvb_ref[l].astype(jnp.float32)).astype(x_ref.dtype)
         ctx_rows = []
         for img in range(ipc):
@@ -400,13 +425,16 @@ def _stack_kernel(
                 ctx_parts.append(o.astype(x_ref.dtype))
             ctx_rows.append(jnp.concatenate(ctx_parts, axis=-1))
         ctx = jnp.concatenate(ctx_rows, axis=0)  # [ipc*t_pad, D]
-        attn = _mm(ctx, outw_ref, l, os_)
+        attn = _mm(ctx, outw_ref, l, os_, w8a8)
         x = x + attn + outb_ref[l].astype(jnp.float32)
-        h = _ln(x, ln2w_ref[l], ln2b_ref[l], eps).astype(x_ref.dtype)
-        hid = _mm(h, fc1w_ref, l, f1s)
+        h = _ln(x, ln2w_ref[l], ln2b_ref[l], eps)
+        if not w8a8:
+            h = h.astype(x_ref.dtype)
+        hid = _mm(h, fc1w_ref, l, f1s, w8a8)
         hid = hid + fc1b_ref[l].astype(jnp.float32)
         hid = _gelu_fast(hid)
-        mlp = _mm(hid.astype(x_ref.dtype), fc2w_ref, l, f2s)
+        mlp = _mm(hid if w8a8 else hid.astype(x_ref.dtype),
+                  fc2w_ref, l, f2s, w8a8)
         x = x + mlp + fc2b_ref[l].astype(jnp.float32)
     o_ref[...] = x.reshape(ipc, t_pad, d).astype(o_ref.dtype)
 
@@ -426,6 +454,7 @@ def fused_encoder_stack(
     images_per_cell: int | None = None,
     interpret: bool | None = None,
     num_layers: int | None = None,
+    w8a8: bool = False,
 ) -> jax.Array:
     """``num_layers`` consecutive encoder layers in one fused launch.
 
@@ -461,6 +490,7 @@ def fused_encoder_stack(
     kernel = functools.partial(
         _stack_kernel, depth=L, num_heads=nh, head_dim=hd, eps=config.eps,
         images_per_cell=images_per_cell, seq_len=t, quantized=quantized,
+        w8a8=w8a8 and quantized,
     )
 
     vmem_limit = _vmem_limit(L, d, hdim, 1 if quantized else x.dtype.itemsize)
