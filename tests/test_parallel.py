@@ -355,6 +355,44 @@ def test_tp_forward_int8_quantized(setup):
     assert np.abs(np.asarray(probs2) - ref).max() < 5e-3
 
 
+def test_tp_forward_w8a8(setup):
+    """TP + W8A8 dynamic activation quantization: the per-token activation
+    scale is shard-local and commutes with the row-parallel psum, so the
+    composed path needs no extra collectives and stays within the int8
+    accuracy gate."""
+    from vit_with_opencl_tpu.models import quant
+
+    stacked, images, ref = setup
+    qp = quant.quantize_stacked_params(stacked, CFG)
+    mesh = spmd.make_mesh(data=2, model=4)
+    params = spmd.shard_params_tp(qp, mesh, CFG)
+    probs = spmd.tp_forward(
+        jnp.asarray(images), params, CFG, mesh, compute_dtype=jnp.float32,
+        w8a8=True,
+    )
+    got = np.asarray(probs)
+    assert np.abs(got - ref).max() < 1e-2  # comparator gate
+    assert (got.argmax(-1) == ref.argmax(-1)).all()
+
+
+def test_sp_tp_forward_w8a8(setup):
+    """SP x TP + W8A8: token-sharded activations, model-sharded int8 weights,
+    int8 GEMMs after each all-gather."""
+    from vit_with_opencl_tpu.models import quant
+
+    stacked, images, ref = setup
+    qp = quant.quantize_stacked_params(stacked, CFG)
+    mesh = spmd.make_mesh(data=2, model=4)
+    params = spmd.shard_params_tp(qp, mesh, CFG)
+    probs = spmd.sp_tp_forward(
+        jnp.asarray(images), params, CFG, mesh, compute_dtype=jnp.float32,
+        w8a8=True,
+    )
+    got = np.asarray(probs)
+    assert np.abs(got - ref).max() < 1e-2
+    assert (got.argmax(-1) == ref.argmax(-1)).all()
+
+
 def test_pipeline_interleaved_matches_golden():
     """Interleaved virtual-stage PP (v=2): same numbers as golden, fewer
     bubble cycles — VERDICT r1 item 8 (stages previously burned full-stage

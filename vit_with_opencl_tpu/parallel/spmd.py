@@ -163,23 +163,36 @@ def shard_params_tp(params: Params, mesh: Mesh, config: ViTConfig) -> Params:
 # ---------------------------------------------------------------------------
 
 
-def _dot_q(x: jax.Array, w: Any) -> jax.Array:
+def _dot_q(x: jax.Array, w: Any, w8a8: bool = False) -> jax.Array:
     """x @ w in fp32, transparently handling int8 {q, scale} weights.
 
     Unlike ``quant.matmul_q`` this keeps the fp32 accumulator (no downcast,
     no bias) so row-parallel callers can psum at full precision — the scale
     is per output channel and commutes with the psum.
+
+    ``w8a8``: additionally quantize the activation per token and run the
+    GEMM int8×int8 on the MXU's double-rate int path (quant.matmul_w8a8
+    semantics). Both scales are local to the shard and commute with the
+    row-parallel psum, so TP composition needs no extra collectives.
     """
     from ..models import quant
 
     if quant.is_quantized(w):
+        if w8a8:
+            xq, sx = quant.quantize_act(x)
+            acc = jax.lax.dot_general(
+                xq, w["q"], (((x.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            return acc.astype(jnp.float32) * sx * w["scale"][..., 0, :]
         out = jnp.dot(x, w["q"].astype(x.dtype),
                       preferred_element_type=jnp.float32)
         return out * w["scale"][..., 0, :]
     return jnp.dot(x, w, preferred_element_type=jnp.float32)
 
 
-def _tp_block(h, lp, config: ViTConfig, n_model: int, kernels):
+def _tp_block(h, lp, config: ViTConfig, n_model: int, kernels,
+              w8a8: bool = False):
     """One encoder layer on a model-axis shard: local heads + local hidden
     slice, two psums (after out-proj and after fc2)."""
     nh_loc = config.num_heads // n_model
@@ -189,7 +202,7 @@ def _tp_block(h, lp, config: ViTConfig, n_model: int, kernels):
     # Attention: column-parallel QKV (local heads), head-parallel core,
     # row-parallel out-proj + psum.
     x = kernels["layer_norm"](h, lp["ln1_w"], lp["ln1_b"], config.eps)
-    qkv = _dot_q(x, lp["qkv_w"])
+    qkv = _dot_q(x, lp["qkv_w"], w8a8)
     qkv = (qkv + lp["qkv_b"]).astype(h.dtype)  # [B, T, nh_loc*3*hd] head-major
     if "attention_packed" in kernels:
         from ..ops.attention import packed_fused_attention
@@ -201,15 +214,15 @@ def _tp_block(h, lp, config: ViTConfig, n_model: int, kernels):
         qkv = qkv.reshape(b, t, nh_loc, 3, hd).transpose(3, 0, 2, 1, 4)
         ctx = kernels["attention"](qkv[0], qkv[1], qkv[2], config)
         ctx = ctx.transpose(0, 2, 1, 3).reshape(b, t, nh_loc * hd)
-    partial = _dot_q(ctx, lp["out_w"])
+    partial = _dot_q(ctx, lp["out_w"], w8a8)
     attn_out = jax.lax.psum(partial, "model") + lp["out_b"]
     h = h + attn_out.astype(h.dtype)
 
     # MLP: column-parallel fc1 (local hidden slice), row-parallel fc2 + psum.
     x = kernels["layer_norm"](h, lp["ln2_w"], lp["ln2_b"], config.eps)
-    hid = _dot_q(x, lp["fc1_w"])
+    hid = _dot_q(x, lp["fc1_w"], w8a8)
     hid = vit.gelu_erf((hid + lp["fc1_b"]).astype(h.dtype))
-    partial = _dot_q(hid, lp["fc2_w"])
+    partial = _dot_q(hid, lp["fc2_w"], w8a8)
     mlp_out = jax.lax.psum(partial, "model") + lp["fc2_b"]
     return h + mlp_out.astype(h.dtype), None
 
@@ -223,19 +236,21 @@ def tp_forward(
     compute_dtype: jnp.dtype = jnp.bfloat16,
     attention_impl: str = "xla",
     return_logits: bool = False,
+    w8a8: bool = False,
 ):
     """DPxTP forward over a ("data", "model") mesh.
 
     Batch is sharded over ``data``; within each data shard the layer weights
     are sharded over ``model`` as in ``shard_params_tp``. Returns globally
-    assembled probabilities [B, num_classes].
+    assembled probabilities [B, num_classes]. ``w8a8`` runs the four block
+    GEMMs int8×int8 (int8 param dicts required; see models/quant).
     """
     n_model = mesh.shape["model"]
     kernels = vit.resolve_kernels(attention_impl)
     pspecs = tp_pspecs(params, config)
 
     cache_key = ("tp", config, mesh, jnp.dtype(compute_dtype),
-                 attention_impl, return_logits,
+                 attention_impl, return_logits, w8a8,
                  jax.tree.structure(params))
 
     def fwd(imgs, p):
@@ -243,7 +258,8 @@ def tp_forward(
         if config.pre_norm:
             x = kernels["layer_norm"](x, p["pre_ln_w"], p["pre_ln_b"], config.eps)
         block = functools.partial(
-            _tp_block, config=config, n_model=n_model, kernels=kernels
+            _tp_block, config=config, n_model=n_model, kernels=kernels,
+            w8a8=w8a8,
         )
         x, _ = jax.lax.scan(lambda h, lp: block(h, lp), x, p["layers"])
         x = vit.layer_norm(x, p["final_ln_w"], p["final_ln_b"], config.eps)
@@ -427,12 +443,14 @@ def sp_tp_forward(
     compute_dtype: jnp.dtype = jnp.bfloat16,
     attention_impl: str = "flash",
     return_logits: bool = False,
+    w8a8: bool = False,
 ):
     """Sequence-parallel x tensor-parallel forward over ("data", "model").
 
     ``params`` must be in the TP layout (``shard_params_tp``): weights are
     model-sharded; between blocks the activations are token-sharded. Returns
-    probabilities [B, num_classes] (batch sharded over "data").
+    probabilities [B, num_classes] (batch sharded over "data"). ``w8a8``
+    runs the four block GEMMs int8×int8 (int8 param dicts required).
     """
     if attention_impl not in ("flash", "xla"):
         raise ValueError(f"unknown attention_impl {attention_impl!r}")
@@ -444,7 +462,8 @@ def sp_tp_forward(
     pspecs = tp_pspecs(params, config)
 
     cache_key = ("sptp", config, mesh, jnp.dtype(compute_dtype),
-                 attention_impl, return_logits, jax.tree.structure(params))
+                 attention_impl, return_logits, w8a8,
+                 jax.tree.structure(params))
 
     def fn(imgs, p):
         x = vit.embed(imgs, p, config, compute_dtype)  # [B_loc, T, D]
@@ -462,7 +481,7 @@ def sp_tp_forward(
             # head-parallel flash core → row-parallel out → RS(tokens).
             hh = vit.layer_norm(h, lp["ln1_w"], lp["ln1_b"], config.eps)
             hg = jax.lax.all_gather(hh, "model", axis=1, tiled=True)
-            qkv = _dot_q(hg, lp["qkv_w"])
+            qkv = _dot_q(hg, lp["qkv_w"], w8a8)
             qkv = (qkv + lp["qkv_b"]).astype(h.dtype)  # [B, T_pad, nh_loc*3*hd]
             if attention_impl == "flash":
                 from ..ops.attention import packed_fused_attention
@@ -473,7 +492,7 @@ def sp_tp_forward(
                 )
             else:
                 ctx = _masked_xla_attention(qkv, b, t_pad, nh_loc, hd, t)
-            partial = _dot_q(ctx, lp["out_w"])  # fp32 [B, T_pad, D]
+            partial = _dot_q(ctx, lp["out_w"], w8a8)  # fp32 [B, T_pad, D]
             attn = jax.lax.psum_scatter(partial, "model",
                                         scatter_dimension=1, tiled=True)
             h = h + (attn + lp["out_b"]).astype(h.dtype)
@@ -482,9 +501,9 @@ def sp_tp_forward(
             # row-parallel fc2 → RS.
             hh = vit.layer_norm(h, lp["ln2_w"], lp["ln2_b"], config.eps)
             hg = jax.lax.all_gather(hh, "model", axis=1, tiled=True)
-            hid = _dot_q(hg, lp["fc1_w"])
+            hid = _dot_q(hg, lp["fc1_w"], w8a8)
             hid = vit.gelu_erf((hid + lp["fc1_b"]).astype(h.dtype))
-            partial = _dot_q(hid, lp["fc2_w"])
+            partial = _dot_q(hid, lp["fc2_w"], w8a8)
             mlp = jax.lax.psum_scatter(partial, "model",
                                        scatter_dimension=1, tiled=True)
             return h + (mlp + lp["fc2_b"]).astype(h.dtype), None
