@@ -156,6 +156,28 @@ def test_uint8_serving_end_to_end():
         srv.shutdown()
 
 
+def test_w8a8_serving_end_to_end():
+    """`--quantize int8-w8a8` behind the daemon: int8 weights + per-token
+    int8 activations; results stay within the reference comparator gate
+    (0.01 on probabilities) and top-1 matches the fp32 golden."""
+    params = fixtures.random_params(CFG, seed=3, scale=0.05)
+    engine_q = InferenceEngine(
+        CFG, params, batch_size=4, param_dtype=jnp.float32,
+        compute_dtype=jnp.float32, quantize="int8-w8a8",
+    )
+    srv = serve.InferenceServer(engine_q, port=0, max_wait_ms=10.0)
+    srv.start_background()
+    try:
+        images = fixtures.random_images(CFG, n=4, seed=4)
+        got = serve.classify(images, port=srv.address[1])
+        want = _expected(params, images)
+        assert [g[0] for g in got] == [w[0] for w in want]
+        for g, w in zip(got, want):
+            assert abs(g[1] - w[1]) < 1e-2
+    finally:
+        srv.shutdown()
+
+
 def test_stats_request(server):
     """STATS wire request returns the daemon's observability counters."""
     srv, params = server
