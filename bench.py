@@ -195,10 +195,16 @@ def main():
             # rate, ~1.79x measured) — quote vs_measured against an int8
             # ceiling measured the same way, not against the bf16 one.
             m = k = n2 = 8192
-            mk_i8 = jax.jit(
-                lambda s: (((jax.lax.broadcasted_iota(jnp.int32, (m, k),
-                                                      s % 2)
-                             * 16807 + s) % 251) - 125).astype(jnp.int8))
+
+            def mk_i8(s):
+                # salt closed over statically: iota's dimension arg must be
+                # a Python int, not a traced value.
+                return jax.jit(
+                    lambda: (((jax.lax.broadcasted_iota(jnp.int32, (m, k),
+                                                        s % 2)
+                               * 16807 + s) % 251) - 125).astype(jnp.int8)
+                )()
+
             a8, b8 = mk_i8(1), mk_i8(2)
             np.asarray(a8[0, :1]); np.asarray(b8[0, :1])
             g8 = jax.jit(lambda x_, y_: jax.lax.dot_general(
