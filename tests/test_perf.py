@@ -179,6 +179,53 @@ def test_lookup_ignores_other_device_and_bad_cache(tmp_path):
     assert autotune.lookup(CFG, 4, jnp.float32, path=path) == {}
 
 
+def test_quant_tuning_key_and_fallback(tmp_path):
+    """W8A8 engines get their own tuning entries (int8 halves resident
+    weight VMEM, shifting the images-per-cell optimum); when no quant sweep
+    was recorded, the bf16 entry is the fallback prior."""
+    from vit_with_opencl_tpu.perf import autotune
+
+    path = tmp_path / "tuning.json"
+    base = autotune.tuning_key(CFG, 4, jnp.float32)
+    qkey = autotune.tuning_key(CFG, 4, jnp.float32, quant="int8-w8a8")
+    assert qkey != base and qkey.endswith("|int8-w8a8")
+
+    autotune.save_tuning(path, base, {"attention_ipc": 2})
+    # no quant entry yet -> bf16 fallback
+    assert autotune.lookup(CFG, 4, jnp.float32, path=path,
+                           quant="int8-w8a8")["attention_ipc"] == 2
+    autotune.save_tuning(path, qkey, {"attention_ipc": 4})
+    assert autotune.lookup(CFG, 4, jnp.float32, path=path,
+                           quant="int8-w8a8")["attention_ipc"] == 4
+    # the unquantized engine never sees the quant entry
+    assert autotune.lookup(CFG, 4, jnp.float32, path=path)["attention_ipc"] == 2
+
+
+def test_tune_and_save_quant_sweeps_quantized_kernel(tmp_path):
+    """--quant int8-w8a8 sweeps the QUANTIZED kernel variants and persists
+    under the quant key."""
+    from vit_with_opencl_tpu.perf import autotune
+
+    path = tmp_path / "tuning.json"
+    calls = []
+
+    def fake_timer(fn, args, iters):
+        calls.append(fn)
+        return float(len(calls))
+
+    result = autotune.tune_and_save(
+        CFG, 4, dtype=jnp.float32, path=path, timer=fake_timer,
+        quant="int8-w8a8",
+    )
+    # CFG's stack fits VMEM at int8 residency -> the stack sweep ran.
+    assert "fused_stack_ipc" in result
+    saved = autotune.lookup(CFG, 4, jnp.float32, path=path,
+                            quant="int8-w8a8")
+    assert saved["fused_stack_ipc"] == result["fused_stack_ipc"]
+    # base key untouched
+    assert autotune.lookup(CFG, 4, jnp.float32, path=path) == {}
+
+
 def test_tune_and_save_includes_ragged(tmp_path):
     """Round-2 verdict item 9: the ragged-vs-padded knee is measured and
     cached, and resolve_kernels threads the winner through."""

@@ -107,7 +107,8 @@ class InferenceEngine:
         from .perf import autotune
 
         self.tuning = autotune.lookup(
-            config, self.batch_size, compute_dtype, path=tuning_path
+            config, self.batch_size, compute_dtype, path=tuning_path,
+            quant=quantize,
         )
         kernels = vit.resolve_kernels(attention_impl, tuning=self.tuning,
                                       w8a8=quantize == "int8-w8a8")
@@ -251,7 +252,8 @@ class DataParallelEngine:
         from .perf import autotune
 
         tuning = autotune.lookup(config, self.batch_size // self.n_devices,
-                                 compute_dtype, path=tuning_path)
+                                 compute_dtype, path=tuning_path,
+                                 quant=quantize)
         kernels = vit.resolve_kernels(attention_impl, tuning=tuning,
                                       w8a8=quantize == "int8-w8a8")
         self._data_sharding = NamedSharding(self.mesh, P(("data", "model")))

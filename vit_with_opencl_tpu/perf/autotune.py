@@ -111,12 +111,21 @@ def tune_fused_block_ipc(
     candidates: Sequence[int] = (1, 2, 4, 8),
     iters: int = 20,
     timer: Optional[Callable] = None,
+    quant: Optional[str] = None,
 ) -> Tuple[int, Dict[int, float]]:
-    """Sweep images-per-cell for the whole-layer fused block on this device."""
+    """Sweep images-per-cell for the whole-layer fused block on this device.
+
+    ``quant`` ("int8" / "int8-w8a8") sweeps the QUANTIZED kernel variant —
+    int8 weights halve resident VMEM, so its images-per-cell optimum can
+    differ from the bf16 one."""
     from ..models import vit
     from ..ops import fused_block
 
     params = vit.cheap_stacked_params(config, dtype)
+    if quant:
+        from ..models import quant as quantlib
+
+        params = quantlib.quantize_stacked_params_device(params, config)
     lp = jax.tree.map(lambda a: a[0], params["layers"])
     i = jax.lax.broadcasted_iota(
         jnp.int32, (batch * config.num_tokens * config.embed_dim, 1), 0
@@ -128,7 +137,7 @@ def tune_fused_block_ipc(
     def build(ipc):
         return jax.jit(functools.partial(
             fused_block.fused_encoder_layer, config=config,
-            images_per_cell=ipc,
+            images_per_cell=ipc, w8a8=quant == "int8-w8a8",
         ))
 
     valid = [c for c in candidates if batch % c == 0]
@@ -143,6 +152,7 @@ def tune_fused_stack_ipc(
     candidates: Sequence[int] = (2, 4),
     iters: int = 20,
     timer: Optional[Callable] = None,
+    quant: Optional[str] = None,
 ) -> Tuple[int, Dict[int, float]]:
     """Sweep images-per-cell for the whole-ENCODER stack kernel — the
     production path for configs passing supports_stack. Separate from the
@@ -153,6 +163,10 @@ def tune_fused_stack_ipc(
     from ..ops import fused_block
 
     params = vit.cheap_stacked_params(config, dtype)
+    if quant:
+        from ..models import quant as quantlib
+
+        params = quantlib.quantize_stacked_params_device(params, config)
     i = jax.lax.broadcasted_iota(
         jnp.int32, (batch * config.num_tokens * config.embed_dim, 1), 0
     )[:, 0]
@@ -163,7 +177,7 @@ def tune_fused_stack_ipc(
     def build(ipc):
         return jax.jit(functools.partial(
             fused_block.fused_encoder_stack, config=config,
-            images_per_cell=ipc,
+            images_per_cell=ipc, w8a8=quant == "int8-w8a8",
         ))
 
     valid = [c for c in candidates if batch % c == 0]
@@ -304,13 +318,21 @@ def default_tuning_path() -> str:
     )
 
 
-def tuning_key(config: ViTConfig, batch: int, dtype) -> str:
-    return f"{config.name}|b{int(batch)}|{jnp.dtype(dtype).name}"
+def tuning_key(config: ViTConfig, batch: int, dtype,
+               quant: Optional[str] = None) -> str:
+    base = f"{config.name}|b{int(batch)}|{jnp.dtype(dtype).name}"
+    return f"{base}|{quant}" if quant else base
 
 
 def lookup(config: ViTConfig, batch: int, dtype,
-           path: str | os.PathLike | None = None) -> Dict:
-    """Saved tuning for this (config, batch, dtype), or {} if none/unreadable.
+           path: str | os.PathLike | None = None,
+           quant: Optional[str] = None) -> Dict:
+    """Saved tuning for this (config, batch, dtype[, quant]), or {} if
+    none/unreadable.
+
+    A quantized engine asks with its quant mode; if no quant-specific sweep
+    was recorded the bf16 entry is the fallback prior (same GEMM shapes,
+    half the resident weight bytes — close, but sweep for exactness).
 
     Entries recorded on a different device than the current one are ignored
     — launch-config winners are hardware-specific, and a cache written on
@@ -319,7 +341,11 @@ def lookup(config: ViTConfig, batch: int, dtype,
     """
     try:
         entry = load_tuning(path or default_tuning_path(),
-                            tuning_key(config, batch, dtype)) or {}
+                            tuning_key(config, batch, dtype, quant))
+        if entry is None and quant:
+            entry = load_tuning(path or default_tuning_path(),
+                                tuning_key(config, batch, dtype))
+        entry = entry or {}
     except (OSError, ValueError, AttributeError, TypeError):
         return {}
     if not isinstance(entry, dict):
@@ -338,9 +364,10 @@ def tune_and_save(
     path: str | os.PathLike | None = None,
     iters: int = 20,
     timer: Optional[Callable] = None,
+    quant: Optional[str] = None,
 ) -> Dict:
-    """Sweep every production knob for this (config, batch, dtype) on the
-    current device and persist the winners."""
+    """Sweep every production knob for this (config, batch, dtype[, quant])
+    on the current device and persist the winners."""
     from ..ops import fused_block
 
     path = path or default_tuning_path()
@@ -371,24 +398,24 @@ def tune_and_save(
         result["blockwise_block_k"] = int(bk)
         result["blockwise_table_ms"] = {str(k): v
                                         for k, v in bw_table.items()}
-    dtype_bytes = jnp.dtype(dtype).itemsize
+    dtype_bytes = 1 if quant else jnp.dtype(dtype).itemsize
     if fused_block.supports_stack(config, dtype_bytes=dtype_bytes):
         # Production path for this config is the whole-encoder stack kernel
         # — sweep THAT (the per-layer winner would regress it).
         st_ipc, st_table = tune_fused_stack_ipc(
-            config, batch, dtype=dtype, iters=iters, timer=timer
+            config, batch, dtype=dtype, iters=iters, timer=timer, quant=quant
         )
         result["fused_stack_ipc"] = int(st_ipc)
         result["fused_stack_table_ms"] = {str(k): v
                                           for k, v in st_table.items()}
     elif fused_block.supports(config, dtype_bytes=dtype_bytes):
         fb_ipc, fb_table = tune_fused_block_ipc(
-            config, batch, dtype=dtype, iters=iters, timer=timer
+            config, batch, dtype=dtype, iters=iters, timer=timer, quant=quant
         )
         result["fused_block_ipc"] = int(fb_ipc)
         result["fused_block_table_ms"] = {str(k): v for k, v in fb_table.items()}
     os.makedirs(os.path.dirname(str(path)) or ".", exist_ok=True)
-    save_tuning(path, tuning_key(config, batch, dtype), result)
+    save_tuning(path, tuning_key(config, batch, dtype, quant), result)
     return result
 
 
@@ -408,11 +435,15 @@ def main(argv=None) -> int:
     parser.add_argument("--out", default=None,
                         help=f"tuning file (default {default_tuning_path()})")
     parser.add_argument("--iters", type=int, default=20)
+    parser.add_argument("--quant", default=None,
+                        choices=["int8", "int8-w8a8"],
+                        help="sweep the quantized kernel variants")
     args = parser.parse_args(argv)
     cfg = get_config(args.config)
     result = tune_and_save(cfg, args.batch, dtype=jnp.dtype(args.dtype),
-                           path=args.out, iters=args.iters)
-    print(json.dumps({tuning_key(cfg, args.batch, jnp.dtype(args.dtype)):
+                           path=args.out, iters=args.iters, quant=args.quant)
+    print(json.dumps({tuning_key(cfg, args.batch, jnp.dtype(args.dtype),
+                                 args.quant):
                       result}, indent=2))
     return 0
 
