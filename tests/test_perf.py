@@ -157,6 +157,29 @@ def test_attribute_forward_substitution():
     assert attention._head_attention.__name__ == "_head_attention"
 
 
+def test_attribute_forward_w8a8_quantize_share():
+    """W8A8 attribution isolates the dynamic-quantization VPU cost with a
+    constant-scale convert substitution and restores the hook."""
+    from vit_with_opencl_tpu import ViTConfig
+    from vit_with_opencl_tpu.harness import fixtures
+    from vit_with_opencl_tpu.models import quant, vit
+    from vit_with_opencl_tpu.perf import profiler
+
+    cfg = ViTConfig(name="attr8", img_size=32, patch_size=8, embed_dim=64,
+                    depth=2, num_heads=4, num_classes=9)
+    params = fixtures.random_params(cfg, seed=7, scale=0.05)
+    stacked = quant.quantize_stacked_params(
+        vit.stack_params(params, cfg, param_dtype=jnp.float32), cfg)
+    images = jnp.asarray(fixtures.random_images(cfg, n=4, seed=7))
+    a = profiler.attribute_forward(cfg, stacked, images,
+                                   compute_dtype=jnp.float32, iters=1,
+                                   quant="int8-w8a8")
+    assert a["total_ms"] > 0 and a["gemm_skeleton_ms"] > 0
+    assert 0.0 <= a["quantize_share"] <= 1.0
+    from vit_with_opencl_tpu.ops import fused_block
+    assert fused_block._quantize_rows.__name__ == "_quantize_rows"
+
+
 def test_lookup_ignores_other_device_and_bad_cache(tmp_path):
     """Tuning winners are hardware-specific: entries recorded on another
     device are ignored, and a malformed cache never raises."""

@@ -101,10 +101,12 @@ def quantize_act(x: jax.Array):
     divide never produces NaN.
     """
     xf = x.astype(jnp.float32)
-    absmax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
-    scale = jnp.maximum(absmax, jnp.float32(2.0 ** -93)) * jnp.float32(1 / 127)
-    q = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
-    return q, scale
+    absmax = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True),
+                         jnp.float32(2.0 ** -93))
+    # One divide per row, then multiplies: VPU divides are multi-op.
+    r = jnp.float32(127.0) / absmax
+    q = jnp.clip(jnp.round(xf * r), -127, 127).astype(jnp.int8)
+    return q, absmax * jnp.float32(1 / 127)
 
 
 def matmul_w8a8(x: jax.Array, w: Any, b: Any) -> jax.Array:

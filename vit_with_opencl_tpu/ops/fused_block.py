@@ -78,6 +78,19 @@ def _whole(shape):
     return pl.BlockSpec(shape, lambda i, _z=zeros: _z)
 
 
+def _quantize_rows(hf):
+    """Per-row absmax int8 quantization: [M, D] fp32 → (int8 [M, D],
+    fp32 scale [M, 1]). One divide per ROW (reciprocal-multiply over the D
+    elements — VPU divides are multi-op, multiplies single); exact-zero rows
+    get a tiny scale so nothing NaNs. Module-level so the attribution probe
+    (perf.profiler.attribute_forward) can substitute it while tracing."""
+    absmax = jnp.maximum(jnp.max(jnp.abs(hf), -1, keepdims=True),
+                         jnp.float32(2.0 ** -93))
+    r = jnp.float32(127.0) / absmax
+    hq = jnp.clip(jnp.round(hf * r), -127, 127).astype(jnp.int8)
+    return hq, absmax * jnp.float32(1 / 127)
+
+
 def _mm(h, w_ref, l, s_ref, w8a8=False):
     """Matmul against layer ``l`` of a resident weight ref; int8 weights are
     cast into the MXU dtype and the per-output-channel fp32 scale (if any)
@@ -89,10 +102,7 @@ def _mm(h, w_ref, l, s_ref, w8a8=False):
     The token scale joins the weight's channel scale in the fp32 epilogue.
     """
     if w8a8:
-        hf = h.astype(jnp.float32)
-        sx = jnp.maximum(jnp.max(jnp.abs(hf), -1, keepdims=True),
-                         jnp.float32(2.0 ** -93)) * jnp.float32(1 / 127)
-        hq = jnp.clip(jnp.round(hf / sx), -127, 127).astype(jnp.int8)
+        hq, sx = _quantize_rows(h.astype(jnp.float32))
         acc = jax.lax.dot_general(hq, w_ref[l], (((1,), (0,)), ((), ())),
                                   preferred_element_type=jnp.int32)
         return acc.astype(jnp.float32) * sx * s_ref[l]

@@ -189,6 +189,7 @@ def attribute_forward(
     *,
     compute_dtype=jnp.bfloat16,
     iters: int = 10,
+    quant: "str | None" = None,
 ) -> Dict[str, float]:
     """Substitution-based attribution of the REAL fused forward pass.
 
@@ -203,6 +204,14 @@ def attribute_forward(
     Returns ms/batch for: ``total``, ``gelu`` (share removed by identity
     GELU), ``softmax``, ``gemm_skeleton`` (both substitutions applied — the
     pure-GEMM bound of the kernel geometry), plus ``*_share`` fractions.
+
+    ``quant="int8-w8a8"`` attributes the W8A8 path instead (``params`` must
+    already be quantized): a third substitution replaces the per-row absmax
+    quantization (``fused_block._quantize_rows``) with a bare fp32→int8
+    convert at a constant scale — same int8 GEMMs, none of the absmax
+    reduce / scale / round VPU work — and its delta is returned as
+    ``quantize_ms``/``quantize_share``. The W8A8 ``gemm_skeleton`` is then
+    the pure int8-GEMM bound of the kernel geometry.
 
     The substitutions temporarily swap module-level kernels
     (``fused_block._gelu_fast``, ``attention._head_attention``) while the
@@ -223,13 +232,20 @@ def attribute_forward(
             "programs. Profile one model at a time."
         )
     try:
-        kernels = vit.resolve_kernels("flash")
+        kernels = vit.resolve_kernels("flash", w8a8=quant == "int8-w8a8")
 
-        def timed(gelu_identity: bool, softmax_identity: bool) -> float:
+        def timed(gelu_identity: bool, softmax_identity: bool,
+                  quant_cheap: bool = False) -> float:
             real_gelu = fused_block._gelu_fast
             real_head = attn_mod._head_attention
+            real_quant = fused_block._quantize_rows
             if gelu_identity:
                 fused_block._gelu_fast = lambda v: v
+            if quant_cheap:
+                # Bare convert at a constant scale: same int8 GEMM, no
+                # absmax/round/clip VPU passes. WRONG math — timing only.
+                fused_block._quantize_rows = lambda hf: (
+                    hf.astype(jnp.int8), jnp.full_like(hf[..., :1], 1.0))
             if softmax_identity:
                 def fake_head(q, k, v, scale, neg=None):
                     qs = q * jnp.asarray(scale, q.dtype)
@@ -254,12 +270,17 @@ def attribute_forward(
             finally:
                 fused_block._gelu_fast = real_gelu
                 attn_mod._head_attention = real_head
+                fused_block._quantize_rows = real_quant
 
         total = timed(False, False)
         no_gelu = timed(True, False)
         no_softmax = timed(False, True)
-        skeleton = timed(True, True)
-        return {
+        if quant == "int8-w8a8":
+            no_quant = timed(False, False, quant_cheap=True)
+            skeleton = timed(True, True, quant_cheap=True)
+        else:
+            skeleton = timed(True, True)
+        out = {
             "total_ms": total,
             "gelu_ms": max(0.0, total - no_gelu),
             "softmax_ms": max(0.0, total - no_softmax),
@@ -268,6 +289,10 @@ def attribute_forward(
             "softmax_share": max(0.0, 1.0 - no_softmax / total),
             "vpu_share": max(0.0, 1.0 - skeleton / total),
         }
+        if quant == "int8-w8a8":
+            out["quantize_ms"] = max(0.0, total - no_quant)
+            out["quantize_share"] = max(0.0, 1.0 - no_quant / total)
+        return out
     finally:
         _ATTRIBUTION_LOCK.release()
 
