@@ -103,9 +103,11 @@ def quantize_act(x: jax.Array):
     xf = x.astype(jnp.float32)
     absmax = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True),
                          jnp.float32(2.0 ** -93))
-    # One divide per row, then multiplies: VPU divides are multi-op.
+    # One divide per row, then multiplies: VPU divides are multi-op. No
+    # clip needed: |xf| <= absmax elementwise, so |xf*r| <= 127*(1+2^-23)
+    # < 127.5 and round-to-nearest can never produce 128.
     r = jnp.float32(127.0) / absmax
-    q = jnp.clip(jnp.round(xf * r), -127, 127).astype(jnp.int8)
+    q = jnp.round(xf * r).astype(jnp.int8)
     return q, absmax * jnp.float32(1 / 127)
 
 

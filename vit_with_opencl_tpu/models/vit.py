@@ -591,12 +591,19 @@ def encoder(x: jax.Array, params: Params, config: ViTConfig,
                 x, params["layers"], config, group_size=gs,
                 images_per_cell=kernels.get("fused_block_ipc"), w8a8=w8a8,
             )
-        if fused_block.supports_stack(config, dtype_bytes=wdtype_bytes):
+        if (not w8a8
+                and fused_block.supports_stack(config, dtype_bytes=wdtype_bytes)):
             # Small models: the COMPLETE weight stack fits VMEM — run every
             # layer in one launch (no inter-layer HBM round trips at all).
+            # W8A8 deliberately skips the stack kernel: its 12-layer
+            # unrolled body plus per-row quantize code compiles for >10
+            # minutes on the relay (vit_s, measured round 3), and the
+            # stack-class models are VPU-bound where W8A8 regresses anyway
+            # (Tiny: 27.9k w8a8-stack vs 31.4k bf16) — the per-layer fused
+            # kernel below compiles in seconds.
             return fused_block.fused_encoder_stack(
                 x, params["layers"], config,
-                images_per_cell=kernels.get("fused_stack_ipc"), w8a8=w8a8,
+                images_per_cell=kernels.get("fused_stack_ipc"), w8a8=False,
             )
         if fused_block.supports(config, dtype_bytes=wdtype_bytes):
             import functools as _ft

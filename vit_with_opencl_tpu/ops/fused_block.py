@@ -87,7 +87,10 @@ def _quantize_rows(hf):
     absmax = jnp.maximum(jnp.max(jnp.abs(hf), -1, keepdims=True),
                          jnp.float32(2.0 ** -93))
     r = jnp.float32(127.0) / absmax
-    hq = jnp.clip(jnp.round(hf * r), -127, 127).astype(jnp.int8)
+    # No clip needed: |hf| <= absmax elementwise, so |hf*r| <=
+    # absmax * fl(127/absmax) <= 127*(1+2^-23) < 127.5 — round-to-nearest
+    # can never produce 128. Saves two VPU passes per element.
+    hq = jnp.round(hf * r).astype(jnp.int8)
     return hq, absmax * jnp.float32(1 / 127)
 
 

@@ -399,7 +399,12 @@ def tune_and_save(
         result["blockwise_table_ms"] = {str(k): v
                                         for k, v in bw_table.items()}
     dtype_bytes = 1 if quant else jnp.dtype(dtype).itemsize
-    if fused_block.supports_stack(config, dtype_bytes=dtype_bytes):
+    # W8A8 never routes through the stack kernel (models/vit.encoder: its
+    # unrolled-stack + quantize body compiles for >10 min) — sweep what
+    # production will actually run.
+    stack_ok = (quant != "int8-w8a8"
+                and fused_block.supports_stack(config, dtype_bytes=dtype_bytes))
+    if stack_ok:
         # Production path for this config is the whole-encoder stack kernel
         # — sweep THAT (the per-layer winner would regress it).
         st_ipc, st_table = tune_fused_stack_ipc(
