@@ -42,3 +42,20 @@ def test_all_presets_valid():
     for name, cfg in PRESETS.items():
         assert cfg.num_tokens > cfg.num_prefix_tokens
         assert cfg.flops_per_image > 0
+
+
+def test_vit_g_geometry():
+    """ViT-G/14 (Zhai et al. 2022): 1664 wide, 48 deep, MLP 8192 (not 4*D),
+    head_dim 104, ~1.84B params — the giant class the W8A8 fused path fits
+    on one chip (36.6 MB/layer int8 < the 40 MB VMEM gate; bf16 does not)."""
+    from vit_with_opencl_tpu.ops import fused_block
+
+    cfg = get_config("vit_g_14_224")
+    assert cfg.hidden_dim == 8192
+    assert cfg.head_dim == 104
+    assert cfg.num_tokens == 257
+    d, h = cfg.embed_dim, cfg.hidden_dim
+    n_params = cfg.depth * (d * 3 * d + d * d + 2 * d * h)
+    assert 1.8e9 < n_params < 1.9e9
+    assert fused_block.supports(cfg, dtype_bytes=1)
+    assert not fused_block.supports(cfg, dtype_bytes=2)

@@ -382,6 +382,28 @@ def test_fused_block_matches_golden_forward():
     np.testing.assert_allclose(np.asarray(probs), ref, atol=1e-5)
 
 
+def test_fused_block_w8a8_head_dim_104():
+    """ViT-G/14's head_dim is 104 (1664/16) — neither 64 nor a power of
+    two. The W8A8 fused layer must stay within the comparator gate at that
+    geometry (interpret)."""
+    from vit_with_opencl_tpu.harness import fixtures
+    from vit_with_opencl_tpu.models import golden, quant
+    from vit_with_opencl_tpu.models import vit as vitmod
+
+    cfg = ViTConfig(name="g_small", img_size=32, patch_size=8, embed_dim=208,
+                    depth=2, num_heads=2, num_classes=9)
+    assert cfg.head_dim == 104
+    params = fixtures.random_params(cfg, seed=11, scale=0.05)
+    images = fixtures.random_images(cfg, n=2, seed=11)
+    ref = golden.golden_forward(images, params, cfg)
+    stacked = quant.quantize_stacked_params(
+        vitmod.stack_params(params, cfg, param_dtype=jnp.float32), cfg)
+    kern = vitmod.resolve_kernels("fused_block", w8a8=True)
+    probs = vitmod.forward(jnp.asarray(images), stacked, cfg,
+                           compute_dtype=jnp.float32, kernels=kern)
+    assert float(np.abs(np.asarray(probs) - ref).max()) < 1e-2
+
+
 def test_fused_block_supports_gate():
     from vit_with_opencl_tpu.ops import fused_block
     from vit_with_opencl_tpu import get_config

@@ -139,6 +139,19 @@ VIT_H_14_224 = ViTConfig(
     num_heads=16,
 )
 
+# ViT-G/14 (Zhai et al. 2022, "Scaling Vision Transformers" — giant class):
+# 1.84B params. One v5e chip holds it int8 (1.84 GB) or bf16 (3.7 GB); the
+# W8A8 fused-layer path fits its 38.3 MB/layer int8 weights in scoped VMEM
+# (bf16's 76.7 MB/layer does not — per-op XLA or TP sharding there).
+VIT_G_14_224 = ViTConfig(
+    name="vit_g_14_224",
+    patch_size=14,
+    embed_dim=1664,
+    depth=48,
+    num_heads=16,
+    mlp_ratio=8192 / 1664,  # the paper's MLP width is 8192, not 4*D
+)
+
 # CLIP ViT-B/16 vision tower: pre-LN before the stack, no classifier head
 # (the projection to the joint embedding space is applied outside the tower).
 CLIP_VIT_B_16 = ViTConfig(
@@ -158,7 +171,7 @@ DEIT_B_16_224 = ViTConfig(
 PRESETS = {
     c.name: c
     for c in (VIT_B_16_224, VIT_TINY_16_224, VIT_S_16_224, VIT_L_16_384,
-              VIT_H_14_224, CLIP_VIT_B_16, DEIT_B_16_224)
+              VIT_H_14_224, VIT_G_14_224, CLIP_VIT_B_16, DEIT_B_16_224)
 }
 
 
