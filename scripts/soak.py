@@ -4,7 +4,8 @@ Reports per-window throughput (drift detection), min/max window, and a
 finite-output check at the end. Mirrors the reference's long-run usage
 (its per-picture clock() loop, ViT_opencl.c:964) at production batch size.
 
-Usage: python scripts/soak.py [config] [batch] [batches] [window]
+Usage: python scripts/soak.py [config] [batch] [batches] [window] [quant]
+(quant: "int8-w8a8" / "int8" soaks the quantized production path)
 """
 from __future__ import annotations
 
@@ -26,14 +27,21 @@ def main():
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 256
     total = int(sys.argv[3]) if len(sys.argv) > 3 else 300
     window = int(sys.argv[4]) if len(sys.argv) > 4 else 50
+    quant = sys.argv[5] if len(sys.argv) > 5 else None
     cfg = get_config(name)
     params = vit.cheap_stacked_params(cfg)
+    if quant:
+        from vit_with_opencl_tpu.models import quant as quantlib
+
+        params = jax.jit(
+            lambda p: quantlib.quantize_stacked_params_device(p, cfg)
+        )(params)
     r = np.random.default_rng(0)
     images = jnp.asarray(
         r.standard_normal((batch, 3, cfg.img_size, cfg.img_size)) * 0.3,
         dtype=jnp.bfloat16,
     )
-    kern = vit.resolve_kernels("flash")
+    kern = vit.resolve_kernels("flash", w8a8=quant == "int8-w8a8")
     fwd = jax.jit(
         lambda im, p: vit.forward(im, p, cfg,
                                   compute_dtype=jnp.bfloat16, kernels=kern)

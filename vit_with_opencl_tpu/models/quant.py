@@ -96,7 +96,7 @@ def quantize_act(x: jax.Array):
     """Dynamic per-token symmetric activation quantization.
 
     x [..., D] (any float dtype) → (int8 [..., D], fp32 scale [..., 1]) with
-    scale = rowwise absmax / 127. Exact zero rows get scale 2^-100 (any
+    scale = rowwise absmax / 127. Exact zero rows get a 2^-93 floor (any
     nonzero value works — the quantized row is all zeros either way) so the
     divide never produces NaN.
     """
