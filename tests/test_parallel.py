@@ -54,6 +54,26 @@ def test_tp_forward_flash_kernel_matches_golden(setup):
     np.testing.assert_allclose(np.asarray(probs), ref, atol=1e-5)
 
 
+def test_tp_forward_head_dim_104_vit_g_geometry():
+    """TP at ViT-G/14's head geometry (head_dim=104, neither 64 nor a power
+    of two): the head-major relayout and per-shard attention must stay
+    golden-exact. ViT-G is the preset whose bf16 weights exceed the fused
+    VMEM gate — TP sharding is its multi-chip story."""
+    cfg = ViTConfig(name="g_par", img_size=32, patch_size=8, embed_dim=208,
+                    depth=2, num_heads=2, num_classes=9)
+    assert cfg.head_dim == 104
+    named = fixtures.random_params(cfg, seed=13, scale=0.05)
+    images = fixtures.random_images(cfg, n=4, seed=13)
+    ref = golden.golden_forward(images, named, cfg)
+    stacked = vit.stack_params(named, cfg, param_dtype=jnp.float32)
+    mesh = spmd.make_mesh(data=2, model=2)
+    params = spmd.shard_params_tp(stacked, mesh, cfg)
+    probs = spmd.tp_forward(
+        jnp.asarray(images), params, cfg, mesh, compute_dtype=jnp.float32
+    )
+    np.testing.assert_allclose(np.asarray(probs), ref, atol=1e-5)
+
+
 def test_tp_layout_reorder_roundtrip(setup):
     stacked, _, _ = setup
     tp = spmd.to_tp_layout(stacked, CFG)
