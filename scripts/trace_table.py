@@ -4,7 +4,8 @@ The TPU equivalent of the reference's (disabled) CL_PROFILING event report
 (ViT_opencl.c:988-1048): runs the production jitted forward under
 jax.profiler and aggregates the device op spans (perf/kernel_trace.py).
 
-Usage: python scripts/trace_table.py [config] [batch] [iters] [top]
+Usage: python scripts/trace_table.py [config] [batch] [iters] [top] [quant]
+(quant: "int8-w8a8" / "int8" traces the quantized production path)
 """
 from __future__ import annotations
 
@@ -26,8 +27,16 @@ def main():
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 256
     iters = int(sys.argv[3]) if len(sys.argv) > 3 else 5
     top = int(sys.argv[4]) if len(sys.argv) > 4 else 15
+    quant = sys.argv[5] if len(sys.argv) > 5 else None
     cfg = get_config(name)
-    params = jax.jit(lambda: vit.cheap_stacked_params(cfg, jnp.bfloat16))()
+    if quant:
+        from vit_with_opencl_tpu.models import quant as quantlib
+
+        params = jax.jit(lambda: quantlib.quantize_stacked_params_device(
+            vit.cheap_stacked_params(cfg, jnp.bfloat16), cfg))()
+    else:
+        params = jax.jit(
+            lambda: vit.cheap_stacked_params(cfg, jnp.bfloat16))()
     images = jax.jit(
         lambda k: jax.random.normal(
             k, (batch, cfg.in_chans, cfg.img_size, cfg.img_size),
@@ -35,7 +44,7 @@ def main():
     )(jax.random.key(0))
     np.asarray(params["patch_b"][:1]); np.asarray(images[0, 0, 0, :1])
 
-    kernels = vit.resolve_kernels("flash")
+    kernels = vit.resolve_kernels("flash", w8a8=quant == "int8-w8a8")
     fwd = jax.jit(lambda im, p: vit.forward(
         im, p, cfg, compute_dtype=jnp.bfloat16, kernels=kernels))
     table = kernel_trace.device_kernel_table(fwd, (images, params),
