@@ -221,7 +221,27 @@ def main():
             calibration["measured_peak_tops_int8"] = round(tf8, 1)
             print(f"calibration int8 GEMM {m}x{k}x{n2}: {tf8:.1f} TOPS",
                   file=sys.stderr)
-            peak_meas = max(peak_meas, tf8)
+            # Under W8A8 only the four BLOCK linears (QKV/out/fc1/fc2) run
+            # int8 — attention scores/PV, the patch embed, and the head all
+            # stay bf16 (resolve_kernels: embed/head dequantize to bf16).
+            # The honest ceiling is the harmonic mix of the two measured
+            # rates weighted by FLOP share; it is the JSON's vs_measured
+            # denominator and the stderr MFU below, so the two agree.
+            t, d = cfg.num_tokens, cfg.embed_dim
+            attn_fl = cfg.depth * 2 * (2 * t * t * d)
+            patch_fl = 2 * cfg.num_patches * d * (
+                cfg.in_chans * cfg.patch_size ** 2)
+            head_fl = (0 if cfg.head_type == "none"
+                       else 2 * d * cfg.num_classes)
+            bf16_frac = (attn_fl + patch_fl + head_fl) / cfg.flops_per_image
+            mixed = 1.0 / ((1.0 - bf16_frac) / tf8
+                           + bf16_frac / calibration["measured_peak_tflops"])
+            calibration["bf16_flop_frac"] = round(bf16_frac, 4)
+            calibration["measured_peak_mixed_tflops"] = round(mixed, 1)
+            calibration["vs_measured_denominator"] = (
+                "harmonic mix: int8 ceiling for the block linears, bf16 "
+                "ceiling for attention scores/PV + patch embed + head")
+            peak_meas = mixed
         print(f"measured chip peak: {peak_meas:.1f} TF/s "
               f"(MFU vs measured: {achieved_tflops / peak_meas * 100:.1f}%, "
               f"vs spec: {achieved_tflops / peak_tflops * 100:.1f}%)",
@@ -271,23 +291,11 @@ def main():
     if calibration is not None:
         # Same 90%-of-roofline target, with the roofline recomputed from the
         # chip's measured GEMM ceiling instead of the spec sheet. Under W8A8
-        # the linears (patch/QKV/out/MLP/head) run on the int8 MXU but the
-        # attention scores/PV GEMMs stay bf16 — the honest ceiling is the
-        # harmonic mix of the two measured rates weighted by FLOP share
-        # (~4% bf16 at 197 tokens, ~9% at 577). Larger than the bf16
-        # ceiling, i.e. the HARDER target.
-        meas_peak = calibration["measured_peak_tflops"]
-        tops8 = calibration.get("measured_peak_tops_int8", 0.0)
-        if quant_mode == "int8-w8a8" and tops8 > 0:
-            t, d = cfg.num_tokens, cfg.embed_dim
-            attn_frac = (cfg.depth * 2 * (2 * t * t * d)) / cfg.flops_per_image
-            meas_peak = 1.0 / ((1.0 - attn_frac) / tops8
-                               + attn_frac / meas_peak)
-            calibration["bf16_attention_flop_frac"] = round(attn_frac, 4)
-            calibration["measured_peak_mixed_tflops"] = round(meas_peak, 1)
-            calibration["vs_measured_denominator"] = (
-                "harmonic mix: int8 ceiling for linears, bf16 ceiling for "
-                "attention scores/PV")
+        # the denominator is the harmonic-mix ceiling computed in the
+        # calibration section above (larger than the bf16 ceiling, i.e. the
+        # HARDER target) — the same number the stderr MFU line used.
+        meas_peak = calibration.get("measured_peak_mixed_tflops",
+                                    calibration["measured_peak_tflops"])
         measured_roofline = meas_peak * 1e3 / gflop
         record["vs_measured"] = round(imgs_per_sec / (0.9 * measured_roofline), 4)
         record["calibration"] = calibration

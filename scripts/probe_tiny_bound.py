@@ -31,6 +31,9 @@ def main():
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 20
     name = sys.argv[3] if len(sys.argv) > 3 else "vit_tiny_16_224"
     quant = sys.argv[4] if len(sys.argv) > 4 else None
+    if quant not in (None, "int8", "int8-w8a8"):
+        raise SystemExit(f"unknown quant mode {quant!r} "
+                         "(use int8 or int8-w8a8)")
     if name == "d512":
         # Same synthetic mid-size preset as probe_midsize.py.
         cfg = ViTConfig(name="d512", embed_dim=512, depth=12, num_heads=8)

@@ -28,6 +28,9 @@ def main():
     total = int(sys.argv[3]) if len(sys.argv) > 3 else 300
     window = int(sys.argv[4]) if len(sys.argv) > 4 else 50
     quant = sys.argv[5] if len(sys.argv) > 5 else None
+    if quant not in (None, "int8", "int8-w8a8"):
+        raise SystemExit(f"unknown quant mode {quant!r} "
+                         "(use int8 or int8-w8a8)")
     cfg = get_config(name)
     params = vit.cheap_stacked_params(cfg)
     if quant:

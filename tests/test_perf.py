@@ -176,8 +176,8 @@ def test_attribute_forward_w8a8_quantize_share():
                                    quant="int8-w8a8")
     assert a["total_ms"] > 0 and a["gemm_skeleton_ms"] > 0
     assert 0.0 <= a["quantize_share"] <= 1.0
-    from vit_with_opencl_tpu.ops import fused_block
-    assert fused_block._quantize_rows.__name__ == "_quantize_rows"
+    # the patched single implementation must be restored afterwards
+    assert quant.quantize_act.__name__ == "quantize_act"
 
 
 def test_lookup_ignores_other_device_and_bad_cache(tmp_path):

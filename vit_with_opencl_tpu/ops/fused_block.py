@@ -80,18 +80,13 @@ def _whole(shape):
 
 def _quantize_rows(hf):
     """Per-row absmax int8 quantization: [M, D] fp32 → (int8 [M, D],
-    fp32 scale [M, 1]). One divide per ROW (reciprocal-multiply over the D
-    elements — VPU divides are multi-op, multiplies single); exact-zero rows
-    get a tiny scale so nothing NaNs. Module-level so the attribution probe
-    (perf.profiler.attribute_forward) can substitute it while tracing."""
-    absmax = jnp.maximum(jnp.max(jnp.abs(hf), -1, keepdims=True),
-                         jnp.float32(2.0 ** -93))
-    r = jnp.float32(127.0) / absmax
-    # No clip needed: |hf| <= absmax elementwise, so |hf*r| <=
-    # absmax * fl(127/absmax) <= 127*(1+2^-23) < 127.5 — round-to-nearest
-    # can never produce 128. Saves two VPU passes per element.
-    hq = jnp.round(hf * r).astype(jnp.int8)
-    return hq, absmax * jnp.float32(1 / 127)
+    fp32 scale [M, 1]). ONE implementation lives in models/quant.quantize_act
+    (reciprocal-multiply, no-clip proof there); this delegates through the
+    module attribute so the attribution probe's substitution of
+    ``quant.quantize_act`` covers the in-kernel path too."""
+    from ..models import quant
+
+    return quant.quantize_act(hf)
 
 
 def _mm(h, w_ref, l, s_ref, w8a8=False):

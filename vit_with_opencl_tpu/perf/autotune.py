@@ -121,11 +121,16 @@ def tune_fused_block_ipc(
     from ..models import vit
     from ..ops import fused_block
 
-    params = vit.cheap_stacked_params(config, dtype)
     if quant:
         from ..models import quant as quantlib
 
-        params = quantlib.quantize_stacked_params_device(params, config)
+        # One jit program: eager per-tensor quantize ops are ruinously slow
+        # on the tunneled relay (one dispatch each — see CLAUDE.md).
+        params = jax.jit(lambda: quantlib.quantize_stacked_params_device(
+            vit.cheap_stacked_params(config, dtype), config))()
+    else:
+        params = jax.jit(
+            lambda: vit.cheap_stacked_params(config, dtype))()
     lp = jax.tree.map(lambda a: a[0], params["layers"])
     i = jax.lax.broadcasted_iota(
         jnp.int32, (batch * config.num_tokens * config.embed_dim, 1), 0
@@ -162,11 +167,14 @@ def tune_fused_stack_ipc(
     from ..models import vit
     from ..ops import fused_block
 
-    params = vit.cheap_stacked_params(config, dtype)
     if quant:
         from ..models import quant as quantlib
 
-        params = quantlib.quantize_stacked_params_device(params, config)
+        params = jax.jit(lambda: quantlib.quantize_stacked_params_device(
+            vit.cheap_stacked_params(config, dtype), config))()
+    else:
+        params = jax.jit(
+            lambda: vit.cheap_stacked_params(config, dtype))()
     i = jax.lax.broadcasted_iota(
         jnp.int32, (batch * config.num_tokens * config.embed_dim, 1), 0
     )[:, 0]

@@ -207,11 +207,13 @@ def attribute_forward(
 
     ``quant="int8-w8a8"`` attributes the W8A8 path instead (``params`` must
     already be quantized): a third substitution replaces the per-row absmax
-    quantization (``fused_block._quantize_rows``) with a bare fp32→int8
-    convert at a constant scale — same int8 GEMMs, none of the absmax
-    reduce / scale / round VPU work — and its delta is returned as
-    ``quantize_ms``/``quantize_share``. The W8A8 ``gemm_skeleton`` is then
-    the pure int8-GEMM bound of the kernel geometry.
+    quantization (``models/quant.quantize_act`` — the single implementation
+    behind BOTH the fused kernel's ``_quantize_rows`` and the per-op
+    ``matmul_w8a8`` path) with a bare fp32→int8 convert at a constant scale
+    — same int8 GEMMs, none of the absmax reduce / scale / round VPU work —
+    and its delta is returned as ``quantize_ms``/``quantize_share``. The
+    W8A8 ``gemm_skeleton`` is then the pure int8-GEMM bound of the kernel
+    geometry.
 
     The substitutions temporarily swap module-level kernels
     (``fused_block._gelu_fast``, ``attention._head_attention``) while the
@@ -234,18 +236,23 @@ def attribute_forward(
     try:
         kernels = vit.resolve_kernels("flash", w8a8=quant == "int8-w8a8")
 
+        from ..models import quant as quant_mod
+
         def timed(gelu_identity: bool, softmax_identity: bool,
                   quant_cheap: bool = False) -> float:
             real_gelu = fused_block._gelu_fast
             real_head = attn_mod._head_attention
-            real_quant = fused_block._quantize_rows
+            real_quant = quant_mod.quantize_act
             if gelu_identity:
                 fused_block._gelu_fast = lambda v: v
             if quant_cheap:
                 # Bare convert at a constant scale: same int8 GEMM, no
-                # absmax/round/clip VPU passes. WRONG math — timing only.
-                fused_block._quantize_rows = lambda hf: (
-                    hf.astype(jnp.int8), jnp.full_like(hf[..., :1], 1.0))
+                # absmax/round VPU passes. WRONG math — timing only.
+                # Patching quant.quantize_act covers BOTH the fused kernel
+                # (_quantize_rows delegates) and the per-op matmul_w8a8.
+                quant_mod.quantize_act = lambda hf: (
+                    hf.astype(jnp.int8),
+                    jnp.full_like(hf[..., :1].astype(jnp.float32), 1.0))
             if softmax_identity:
                 def fake_head(q, k, v, scale, neg=None):
                     qs = q * jnp.asarray(scale, q.dtype)
@@ -270,7 +277,7 @@ def attribute_forward(
             finally:
                 fused_block._gelu_fast = real_gelu
                 attn_mod._head_attention = real_head
-                fused_block._quantize_rows = real_quant
+                quant_mod.quantize_act = real_quant
 
         total = timed(False, False)
         no_gelu = timed(True, False)
