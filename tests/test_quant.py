@@ -110,6 +110,37 @@ def test_engine_w8a8_end_to_end():
     assert (probs.argmax(-1) == ref.argmax(-1)).all()
 
 
+def test_quantize_auto_resolution():
+    """'auto' picks W8A8 exactly where it is the measured win: fused-layer
+    class configs (ViT-B and up); stack-class small models stay bf16
+    (BENCH.md: Tiny regresses -11% under W8A8)."""
+    from vit_with_opencl_tpu import get_config
+    from vit_with_opencl_tpu.engine import resolve_quantize
+
+    assert resolve_quantize("auto", get_config("vit_b_16_224")) == "int8-w8a8"
+    assert resolve_quantize("auto", get_config("vit_h_14_224")) == "int8-w8a8"
+    assert resolve_quantize("auto", get_config("vit_tiny_16_224")) is None
+    assert resolve_quantize("auto", get_config("vit_s_16_224")) is None
+    # explicit modes pass through untouched
+    assert resolve_quantize("int8", get_config("vit_tiny_16_224")) == "int8"
+    assert resolve_quantize(None, get_config("vit_b_16_224")) is None
+
+
+def test_engine_quantize_auto_small_model_stays_bf16():
+    """An 'auto' engine on a stack-class config resolves to unquantized and
+    stays golden-exact at fp32."""
+    params_named = fixtures.random_params(CFG, seed=14, scale=0.05)
+    images = fixtures.random_images(CFG, n=3, seed=14)
+    ref = golden.golden_forward(images, params_named, CFG)
+    engine = InferenceEngine(
+        CFG, params_named, batch_size=4, param_dtype=jnp.float32,
+        compute_dtype=jnp.float32, quantize="auto",
+    )
+    assert engine.quantize is None  # CFG's stack fits VMEM -> bf16 wins
+    probs = engine.run(images)
+    np.testing.assert_allclose(probs, ref, atol=1e-5)
+
+
 def test_matmul_w8a8_exact_int_math():
     """The device int8xint8 path must agree EXACTLY with host int math."""
     r = np.random.default_rng(7)

@@ -65,7 +65,8 @@ def main(argv=None) -> int:
     parser.add_argument("--attention", choices=["xla", "flash", "fused_block"], default="xla",
                         help="attention core: XLA einsum chain or the fused "
                         "Pallas flash kernel")
-    parser.add_argument("--quantize", choices=["int8", "int8-w8a8"],
+    parser.add_argument("--quantize",
+                        choices=["int8", "int8-w8a8", "auto"],
                         default=None,
                         help="int8 quantization for the tpu backend: weight-"
                         "only (bf16 MXU) or w8a8 (dynamic int8 activations "

@@ -52,6 +52,24 @@ def enable_compilation_cache(path: str | None = None) -> None:
         pass  # cache is an optimization; never fail startup over it
 
 
+def resolve_quantize(quantize: Optional[str], config: ViTConfig) -> Optional[str]:
+    """Resolve the ``"auto"`` quantize mode to a concrete one.
+
+    Measured policy (BENCH.md round 3): W8A8 wins +37–45% wherever the
+    fused-layer kernel is the production encoder path, but REGRESSES on the
+    small stack-kernel-class models (ViT-Tiny −11%: they are VPU-bound, so
+    the double-rate int8 MXU buys nothing and the per-token quantize only
+    adds VPU work). "auto" therefore picks int8-w8a8 exactly when the
+    config's bf16 production path is NOT the whole-encoder stack kernel.
+    """
+    if quantize != "auto":
+        return quantize
+    from .ops import fused_block
+
+    if fused_block.supports_stack(config, dtype_bytes=2):
+        return None
+    return "int8-w8a8"
+
 
 class InferenceEngine:
     """Compiled batched ViT inference on one device.
@@ -86,6 +104,8 @@ class InferenceEngine:
         self.batch_size = int(batch_size)
         self.compute_dtype = compute_dtype
         self.device = device if device is not None else jax.devices()[0]
+        quantize = resolve_quantize(quantize, config)
+        self.quantize = quantize
         t0 = time.perf_counter()
         params = vit.stack_params(named_params, config, param_dtype=param_dtype)
         if quantize in ("int8", "int8-w8a8"):
@@ -237,6 +257,8 @@ class DataParallelEngine:
                 f"global batch {batch_size} not divisible by "
                 f"{self.n_devices} devices"
             )
+        quantize = resolve_quantize(quantize, config)
+        self.quantize = quantize
         t0 = time.perf_counter()
         self.mesh = spmd.make_mesh(data=self.n_devices, model=1,
                                    devices=devices)

@@ -302,7 +302,8 @@ def main(argv=None) -> int:
     parser.add_argument("--port", type=int, default=9876)
     parser.add_argument("--batch-size", type=int, default=32)
     parser.add_argument("--attention", choices=["xla", "flash", "fused_block"], default="flash")
-    parser.add_argument("--quantize", choices=["int8", "int8-w8a8"],
+    parser.add_argument("--quantize",
+                        choices=["int8", "int8-w8a8", "auto"],
                         default=None)
     parser.add_argument("--max-wait-ms", type=float, default=5.0)
     parser.add_argument("--uint8", action="store_true",
