@@ -40,13 +40,14 @@ def _fence(x):
     np.asarray(x.ravel()[:1])
 
 
-def chained_gemm_rate(n_dim: int, scan_len: int, *, reps: int = 3):
-    """TF/s of scan_len GEMMs chained inside ONE jit program.
+def chained_gemm_program(n_dim: int, scan_len: int):
+    """(run, y0, b): scan_len GEMMs chained inside ONE jit program, warmed.
 
     y_{i+1} = (y_i @ B) * (1/n) keeps magnitudes bounded; the rescale is
     O(n^2) against the GEMM's O(n^3) — noise. The carry dependency defeats
-    DCE and forces sequential execution (what we want: MXU occupancy of
-    back-to-back GEMMs with no dispatch in between).
+    DCE and forces sequential execution. The ONE chained-GEMM methodology —
+    both the scan-length sweep and the sustain (throttling) probe time this
+    exact program, so their comparison stays apples-to-apples.
     """
     y0 = _mat(n_dim, n_dim, 1)
     b = _mat(n_dim, n_dim, 2)
@@ -63,6 +64,12 @@ def chained_gemm_rate(n_dim: int, scan_len: int, *, reps: int = 3):
         return out
 
     _fence(run(y0, b))  # compile + warm
+    return run, y0, b
+
+
+def chained_gemm_rate(n_dim: int, scan_len: int, *, reps: int = 3):
+    """Best-of-reps TF/s of the chained-GEMM program."""
+    run, y0, b = chained_gemm_program(n_dim, scan_len)
     best = 0.0
     for _ in range(reps):
         t0 = time.perf_counter()
@@ -133,21 +140,7 @@ def main():
     print("\n-- 3) sustained run (throttling probe) --")
     sustain_s = float(os.environ.get("PROBE_SUSTAIN_S", "60"))
     L = max(scan_lens)
-    y0 = _mat(n_dim, n_dim, 1)
-    b = _mat(n_dim, n_dim, 2)
-    inv = jnp.bfloat16(1.0 / n_dim)
-
-    @jax.jit
-    def run(y, bmat):
-        def step(carry, _):
-            return (jnp.dot(carry, bmat,
-                            preferred_element_type=jnp.float32)
-                    .astype(jnp.bfloat16) * inv), None
-
-        out, _ = jax.lax.scan(step, y, None, length=L)
-        return out
-
-    _fence(run(y0, b))
+    run, y0, b = chained_gemm_program(n_dim, L)  # identical methodology
     t_start = time.perf_counter()
     chunk_rates = []
     while time.perf_counter() - t_start < sustain_s:

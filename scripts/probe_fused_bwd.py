@@ -104,10 +104,6 @@ def main():
             xx, ll, dd, cfg, interpret=False), x, lp, dout)
 
 
-if __name__ == "__main__":
-    main()
-
-
 def scan_stages():
     """Escalation: grad through scan(fused trainable layer), then the full
     model loss — finds the context that crashes the relay compiler."""
@@ -143,6 +139,11 @@ def scan_stages():
             params, xi, yi)
 
 
-if __name__ == "__main__" and len(sys.argv) > 1 and sys.argv[1] == "scan":
-    scan_stages()
-    sys.exit(0)
+if __name__ == "__main__":
+    # One dispatch point: `scan` runs the escalation probe INSTEAD of the
+    # kernel-stage probe (main() would otherwise jit full ViT-B params over
+    # the relay for nothing before scan_stages repeated the same setup).
+    if len(sys.argv) > 1 and sys.argv[1] == "scan":
+        scan_stages()
+    else:
+        main()

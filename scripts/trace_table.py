@@ -48,8 +48,13 @@ def main():
     np.asarray(params["patch_b"][:1]); np.asarray(images[0, 0, 0, :1])
 
     kernels = vit.resolve_kernels("flash", w8a8=quant == "int8-w8a8")
-    fwd = jax.jit(lambda im, p: vit.forward(
-        im, p, cfg, compute_dtype=jnp.bfloat16, kernels=kernels))
+    if cfg.head_type == "none":
+        # Bare tower (CLIP): trace feature extraction, as bench.py does.
+        fwd = jax.jit(lambda im, p: vit.forward_features(
+            im, p, cfg, compute_dtype=jnp.bfloat16, kernels=kernels)[:, 0])
+    else:
+        fwd = jax.jit(lambda im, p: vit.forward(
+            im, p, cfg, compute_dtype=jnp.bfloat16, kernels=kernels))
     table = kernel_trace.device_kernel_table(fwd, (images, params),
                                              iters=iters, top=top)
     print(kernel_trace.format_kernel_table(table, iters=iters))

@@ -253,7 +253,9 @@ def test_tune_and_save_quant_sweeps_quantized_kernel(tmp_path):
 
 def test_tune_and_save_includes_ragged(tmp_path):
     """Round-2 verdict item 9: the ragged-vs-padded knee is measured and
-    cached, and resolve_kernels threads the winner through."""
+    cached, and resolve_kernels threads the winner through. The sweep runs
+    only for configs whose production encoder actually executes packed
+    attention (per-layer class); stack-class configs skip it."""
     from vit_with_opencl_tpu.perf import autotune
 
     path = tmp_path / "tuning.json"
@@ -263,12 +265,22 @@ def test_tune_and_save_includes_ragged(tmp_path):
         calls.append(fn)
         return float(len(calls))
 
-    result = autotune.tune_and_save(CFG, 4, dtype=jnp.float32, path=path,
+    # A per-layer-class config: the 12-layer D=512 fp32 stack exceeds the
+    # stack kernel's VMEM gate, so production runs packed attention.
+    mid = ViTConfig(name="perf_mid", img_size=32, patch_size=8,
+                    embed_dim=512, depth=12, num_heads=8, num_classes=11)
+    result = autotune.tune_and_save(mid, 4, dtype=jnp.float32, path=path,
                                     timer=fake_timer)
     assert result["attention_ragged"] in (True, False)
     kern = vit.resolve_kernels("flash", tuning=result)
     assert kern["attention_packed"].keywords["ragged"] == result[
         "attention_ragged"]
+
+    # Stack-class config (CFG's whole stack fits VMEM): no ragged sweep —
+    # packed attention is dead code in its production path.
+    result_small = autotune.tune_and_save(CFG, 4, dtype=jnp.float32,
+                                          path=path, timer=fake_timer)
+    assert "attention_ragged" not in result_small
 
 
 def test_tune_blockwise_blocks_interpret():

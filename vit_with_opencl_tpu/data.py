@@ -133,23 +133,28 @@ class DevicePrefetcher:
             is_leaf=lambda a: a is None,
         )
 
+    def _put_or_stop(self, item) -> bool:
+        """Bounded put that honors the stop flag (a blocking put on a full
+        queue after the consumer stopped would leak this thread and pin
+        buffer_size device batches in HBM forever)."""
+        while not self._stop.is_set():
+            try:
+                self._q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def _run(self, it):
         try:
             for batch in it:
                 if self._stop.is_set():
                     return
-                dev = self._put_batch(batch)
-                while not self._stop.is_set():
-                    try:
-                        self._q.put(dev, timeout=0.1)
-                        break
-                    except queue.Full:
-                        continue
-                else:
+                if not self._put_or_stop(self._put_batch(batch)):
                     return
-            self._q.put(_STOP)
+            self._put_or_stop(_STOP)
         except BaseException as e:  # noqa: BLE001 — relayed to consumer
-            self._q.put(e)
+            self._put_or_stop(e)
 
     def __iter__(self):
         return self

@@ -139,10 +139,9 @@ class InferenceEngine:
             # mean/std): 4x less host->device transfer than fp32 inputs —
             # the production input path (io/preprocess still handles
             # resize/crop on host).
-            from .io.preprocess import IMAGENET_MEAN, IMAGENET_STD
+            from .io.preprocess import uint8_normalize_constants
 
-            mean = jnp.asarray(IMAGENET_MEAN.reshape(1, 3, 1, 1) * 255.0)
-            inv_std = jnp.asarray(1.0 / (IMAGENET_STD.reshape(1, 3, 1, 1) * 255.0))
+            mean, inv_std = uint8_normalize_constants()
 
         @functools.partial(jax.jit, static_argnames=())
         def _forward(images, params):
@@ -285,11 +284,9 @@ class DataParallelEngine:
             # Raw uint8 pixels over the wire + host->device, normalized on
             # each data shard (same 4x transfer saving as the single-device
             # engine — round-2 verdict item 7: the DP path lost it).
-            from .io.preprocess import IMAGENET_MEAN, IMAGENET_STD
+            from .io.preprocess import uint8_normalize_constants
 
-            mean = jnp.asarray(IMAGENET_MEAN.reshape(1, 3, 1, 1) * 255.0)
-            inv_std = jnp.asarray(
-                1.0 / (IMAGENET_STD.reshape(1, 3, 1, 1) * 255.0))
+            mean, inv_std = uint8_normalize_constants()
 
         @jax.jit
         def _forward(images, params):

@@ -22,6 +22,19 @@ IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 
+def uint8_normalize_constants():
+    """(mean, inv_std) as [1, 3, 1, 1] fp32 device constants for on-device
+    normalization of raw uint8 pixels: x_norm = (x - mean) * inv_std.
+
+    The ONE definition both inference engines fold into their jitted
+    forward for the uint8 wire mode (4x less host->device transfer)."""
+    import jax.numpy as jnp
+
+    mean = jnp.asarray(IMAGENET_MEAN.reshape(1, 3, 1, 1) * 255.0)
+    inv_std = jnp.asarray(1.0 / (IMAGENET_STD.reshape(1, 3, 1, 1) * 255.0))
+    return mean, inv_std
+
+
 def _resize_bilinear_np(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     """Pure-NumPy bilinear resize, HWC uint8/float → float32 HWC."""
     h, w = img.shape[:2]

@@ -379,6 +379,12 @@ def tune_and_save(
     from ..ops import fused_block
 
     path = path or default_tuning_path()
+    dtype_bytes = 1 if quant else jnp.dtype(dtype).itemsize
+    # W8A8 never routes through the stack kernel (models/vit.encoder: its
+    # unrolled-stack + quantize body compiles for >10 min) — sweep what
+    # production will actually run.
+    stack_ok = (quant != "int8-w8a8"
+                and fused_block.supports_stack(config, dtype_bytes=dtype_bytes))
     attn_ipc, attn_table = tune_attention_ipc(
         config, batch, dtype=dtype, iters=iters, timer=timer
     )
@@ -388,12 +394,17 @@ def tune_and_save(
         "device": str(jax.devices()[0]),
         "timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
     }
-    ragged, ragged_table = tune_ragged_route(
-        config, batch, dtype=dtype, iters=iters, timer=timer
-    )
-    result["attention_ragged"] = bool(ragged)
-    result["attention_ragged_table_ms"] = {str(k): v
-                                           for k, v in ragged_table.items()}
+    if not stack_ok:
+        # Stack-class configs never execute packed attention in production
+        # (the whole encoder is one launch) — the ragged-route sweep would
+        # be two wasted relay compiles; the attention-ipc sweep above stays
+        # because the TP path uses the packed kernel on any config.
+        ragged, ragged_table = tune_ragged_route(
+            config, batch, dtype=dtype, iters=iters, timer=timer
+        )
+        result["attention_ragged"] = bool(ragged)
+        result["attention_ragged_table_ms"] = {
+            str(k): v for k, v in ragged_table.items()}
     if config.num_tokens > 1024:
         # Long-sequence configs route through the blockwise flash kernel:
         # sweep its block shapes too.
@@ -406,12 +417,6 @@ def tune_and_save(
         result["blockwise_block_k"] = int(bk)
         result["blockwise_table_ms"] = {str(k): v
                                         for k, v in bw_table.items()}
-    dtype_bytes = 1 if quant else jnp.dtype(dtype).itemsize
-    # W8A8 never routes through the stack kernel (models/vit.encoder: its
-    # unrolled-stack + quantize body compiles for >10 min) — sweep what
-    # production will actually run.
-    stack_ok = (quant != "int8-w8a8"
-                and fused_block.supports_stack(config, dtype_bytes=dtype_bytes))
     if stack_ok:
         # Production path for this config is the whole-encoder stack kernel
         # — sweep THAT (the per-layer winner would regress it).

@@ -74,6 +74,9 @@ class Trainer:
         self.log_every = log_every
         self.log_fn = log_fn
         self.step_idx = 0
+        # Most recent step's loss; None until a step has actually run (an
+        # empty/exhausted dataset must not leave the attribute unset).
+        self.last_loss: Optional[float] = None
 
         if schedule is not None:
             if optimizer != "adamw":
