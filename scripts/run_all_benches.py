@@ -11,13 +11,17 @@ import subprocess
 import sys
 
 CONFIGS = [
-    # (config, batch, iters)
-    ("vit_b_16_224", 256, 50),
-    ("vit_s_16_224", 512, 30),
-    ("vit_l_16_384", 64, 20),
-    ("vit_tiny_16_224", 1024, 30),
-    ("deit_b_16_224", 256, 30),
-    ("clip_vit_b_16", 256, 30),
+    # (config, batch, iters, quant) — quant None inherits BENCH_QUANT's
+    # default (int8-w8a8); the VPU-bound small models pin bf16, their
+    # measured production mode (BENCH.md: Tiny regresses under W8A8).
+    ("vit_b_16_224", 256, 50, None),
+    ("vit_s_16_224", 512, 30, None),
+    ("vit_l_16_384", 64, 20, None),
+    ("vit_tiny_16_224", 1024, 30, "bf16"),
+    ("vit_h_14_224", 32, 30, None),
+    ("vit_g_14_224", 32, 15, None),
+    ("deit_b_16_224", 256, 30, None),
+    ("clip_vit_b_16", 256, 30, None),
 ]
 
 
@@ -25,9 +29,11 @@ def main() -> int:
     here = os.path.dirname(os.path.abspath(__file__))
     bench = os.path.join(here, "..", "bench.py")
     rows = []
-    for config, batch, iters in CONFIGS:
+    for config, batch, iters, quant in CONFIGS:
         env = dict(os.environ, BENCH_CONFIG=config, BENCH_BATCH=str(batch),
                    BENCH_ITERS=str(iters))
+        if quant is not None:
+            env["BENCH_QUANT"] = quant
         proc = subprocess.run(
             [sys.executable, bench], env=env, capture_output=True, text=True,
             timeout=900,
