@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from vit_with_opencl_tpu import ViTConfig
 from vit_with_opencl_tpu.harness import fixtures
@@ -281,6 +282,32 @@ def test_tune_and_save_includes_ragged(tmp_path):
     result_small = autotune.tune_and_save(CFG, 4, dtype=jnp.float32,
                                           path=path, timer=fake_timer)
     assert "attention_ragged" not in result_small
+
+
+def test_tune_and_save_knob_restriction_merges(tmp_path):
+    """A knobs-restricted sweep runs only the named sweeps and MERGES into
+    the existing cache entry (big-config attention sweeps can take minutes
+    per compile on the relay; partial re-tunes must not drop prior knobs)."""
+    from vit_with_opencl_tpu.perf import autotune
+
+    path = tmp_path / "tuning.json"
+
+    def fake_timer(fn, args, iters):
+        return 1.0
+
+    r1 = autotune.tune_and_save(CFG, 4, dtype=jnp.float32, path=path,
+                                timer=fake_timer, knobs=["ipc"])
+    assert "fused_stack_ipc" in r1 and "attention_ipc" not in r1
+    r2 = autotune.tune_and_save(CFG, 4, dtype=jnp.float32, path=path,
+                                timer=fake_timer, knobs=["attention"])
+    # merged: the ipc winner from the first sweep survives
+    assert r2["attention_ipc"] >= 1 and "fused_stack_ipc" in r2
+    saved = autotune.lookup(CFG, 4, jnp.float32, path=path)
+    assert "attention_ipc" in saved and "fused_stack_ipc" in saved
+
+    with pytest.raises(ValueError, match="unknown knobs"):
+        autotune.tune_and_save(CFG, 4, dtype=jnp.float32, path=path,
+                               timer=fake_timer, knobs=["bogus"])
 
 
 def test_tune_blockwise_blocks_interpret():

@@ -373,28 +373,47 @@ def tune_and_save(
     iters: int = 20,
     timer: Optional[Callable] = None,
     quant: Optional[str] = None,
+    knobs: Optional[Sequence[str]] = None,
 ) -> Dict:
     """Sweep every production knob for this (config, batch, dtype[, quant])
-    on the current device and persist the winners."""
+    on the current device and persist the winners.
+
+    ``knobs`` restricts the sweep (subset of {"attention", "ragged",
+    "blockwise", "ipc"}) — big configs' attention sweeps can take many
+    minutes per compile on the tunneled relay, and a partial sweep merges
+    into the existing cache entry rather than replacing it.
+    """
     from ..ops import fused_block
 
     path = path or default_tuning_path()
+    all_knobs = ("attention", "ragged", "blockwise", "ipc")
+    knobs = tuple(knobs) if knobs is not None else all_knobs
+    unknown = set(knobs) - set(all_knobs)
+    if unknown:
+        raise ValueError(f"unknown knobs {sorted(unknown)}; pick from "
+                         f"{all_knobs}")
     dtype_bytes = 1 if quant else jnp.dtype(dtype).itemsize
     # W8A8 never routes through the stack kernel (models/vit.encoder: its
     # unrolled-stack + quantize body compiles for >10 min) — sweep what
     # production will actually run.
     stack_ok = (quant != "int8-w8a8"
                 and fused_block.supports_stack(config, dtype_bytes=dtype_bytes))
-    attn_ipc, attn_table = tune_attention_ipc(
-        config, batch, dtype=dtype, iters=iters, timer=timer
-    )
     result: Dict = {
-        "attention_ipc": int(attn_ipc),
-        "attention_table_ms": {str(k): v for k, v in attn_table.items()},
         "device": str(jax.devices()[0]),
         "timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
     }
-    if not stack_ok:
+    # A partial sweep (knobs subset) merges into the prior entry.
+    prior = load_tuning(path, tuning_key(config, batch, dtype, quant))
+    if isinstance(prior, dict) and prior.get("device") == result["device"]:
+        result = {**prior, **result}
+    if "attention" in knobs:
+        attn_ipc, attn_table = tune_attention_ipc(
+            config, batch, dtype=dtype, iters=iters, timer=timer
+        )
+        result["attention_ipc"] = int(attn_ipc)
+        result["attention_table_ms"] = {str(k): v
+                                        for k, v in attn_table.items()}
+    if "ragged" in knobs and not stack_ok:
         # Stack-class configs never execute packed attention in production
         # (the whole encoder is one launch) — the ragged-route sweep would
         # be two wasted relay compiles; the attention-ipc sweep above stays
@@ -405,7 +424,7 @@ def tune_and_save(
         result["attention_ragged"] = bool(ragged)
         result["attention_ragged_table_ms"] = {
             str(k): v for k, v in ragged_table.items()}
-    if config.num_tokens > 1024:
+    if "blockwise" in knobs and config.num_tokens > 1024:
         # Long-sequence configs route through the blockwise flash kernel:
         # sweep its block shapes too.
         (bq, bk), bw_table = tune_blockwise_blocks(
@@ -417,7 +436,9 @@ def tune_and_save(
         result["blockwise_block_k"] = int(bk)
         result["blockwise_table_ms"] = {str(k): v
                                         for k, v in bw_table.items()}
-    if stack_ok:
+    if "ipc" not in knobs:
+        pass
+    elif stack_ok:
         # Production path for this config is the whole-encoder stack kernel
         # — sweep THAT (the per-layer winner would regress it).
         st_ipc, st_table = tune_fused_stack_ipc(
@@ -456,10 +477,17 @@ def main(argv=None) -> int:
     parser.add_argument("--quant", default=None,
                         choices=["int8", "int8-w8a8"],
                         help="sweep the quantized kernel variants")
+    parser.add_argument("--knobs", default=None,
+                        help="comma list of {attention,ragged,blockwise,ipc}"
+                             " — restrict the sweep (big-config attention"
+                             " sweeps can take minutes per compile on the"
+                             " relay); partial results merge into the cache")
     args = parser.parse_args(argv)
     cfg = get_config(args.config)
+    knobs = args.knobs.split(",") if args.knobs else None
     result = tune_and_save(cfg, args.batch, dtype=jnp.dtype(args.dtype),
-                           path=args.out, iters=args.iters, quant=args.quant)
+                           path=args.out, iters=args.iters, quant=args.quant,
+                           knobs=knobs)
     print(json.dumps({tuning_key(cfg, args.batch, jnp.dtype(args.dtype),
                                  args.quant):
                       result}, indent=2))
