@@ -205,3 +205,50 @@ def test_trainer_sgd_grad_accum(tmp_path):
     assert np.isfinite(tr.last_loss)
     with pytest.raises(ValueError, match="without checkpoint_dir"):
         tr.save()
+
+
+def test_grad_clip_norm_bounds_update():
+    """grad_clip_norm clips by global L2 norm: with a tiny max norm the SGD
+    update magnitude is bounded by lr*max_norm; loss still descends over
+    steps; clipped and unclipped steps agree when the norm is huge."""
+    mesh = spmd.make_mesh(data=1, model=1)
+    params = vit.random_stacked_params(CFG, jax.random.key(0), jnp.float32)
+    images, labels = _dataset(8)
+    images = jnp.asarray(images)
+    labels = jnp.asarray(labels)
+
+    step_clip = spmd.make_train_step(CFG, mesh, lr=1.0, optimizer="sgd",
+                                     compute_dtype=jnp.float32,
+                                     grad_clip_norm=1e-3)
+    p1, loss1 = step_clip(params, images, labels)
+    # total parameter movement <= lr * max_norm (global L2)
+    delta = jnp.sqrt(sum(
+        jnp.sum(jnp.square(a - b))
+        for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(params))
+        if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating)))
+    assert float(delta) <= 1e-3 * 1.0 + 1e-6
+
+    # A huge max norm is a no-op: matches the unclipped step exactly.
+    step_loose = spmd.make_train_step(CFG, mesh, lr=1e-2, optimizer="sgd",
+                                      compute_dtype=jnp.float32,
+                                      grad_clip_norm=1e9)
+    step_plain = spmd.make_train_step(CFG, mesh, lr=1e-2, optimizer="sgd",
+                                      compute_dtype=jnp.float32)
+    pa, _ = step_loose(params, images, labels)
+    pb, _ = step_plain(params, images, labels)
+    for a, b in zip(jax.tree.leaves(pa), jax.tree.leaves(pb)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+    # adamw path: clip chains into optax and the loss descends.
+    init_fn, step8 = spmd.make_train_step(CFG, mesh, lr=1e-3,
+                                          optimizer="adamw",
+                                          compute_dtype=jnp.float32,
+                                          grad_clip_norm=1.0)
+    state = init_fn(params)
+    p, s = params, state
+    losses = []
+    for _ in range(3):
+        p, s, loss = step8(p, s, images, labels)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]

@@ -557,10 +557,26 @@ def dp_forward_fn(config: ViTConfig, mesh: Mesh, *, compute_dtype=jnp.bfloat16,
 # ---------------------------------------------------------------------------
 
 
+def _clip_by_global_norm(grads, max_norm: float):
+    """Scale grads so their global L2 norm is at most ``max_norm`` (fp32
+    norm accumulation; non-floating leaves pass through untouched)."""
+    leaves = [g for g in jax.tree.leaves(grads)
+              if jnp.issubdtype(jnp.asarray(g).dtype, jnp.floating)]
+    gnorm = jnp.sqrt(sum(jnp.sum(jnp.square(g.astype(jnp.float32)))
+                         for g in leaves))
+    scale = jnp.minimum(1.0, max_norm / jnp.maximum(gnorm, 1e-12))
+    return jax.tree.map(
+        lambda g: (g.astype(jnp.float32) * scale).astype(g.dtype)
+        if jnp.issubdtype(jnp.asarray(g).dtype, jnp.floating) else g,
+        grads,
+    )
+
+
 def make_train_step(config: ViTConfig, mesh: Mesh, *, lr: float = 1e-3,
                     compute_dtype=jnp.float32, optimizer: str = "sgd",
                     weight_decay: float = 0.05, attention_impl: str = "xla",
-                    grad_accum: int = 1, scan_unroll: int = 1):
+                    grad_accum: int = 1, scan_unroll: int = 1,
+                    grad_clip_norm: float | None = None):
     """Cross-entropy training step, jit over the mesh: batch sharded over
     "data", weights sharded over "model" (GSPMD inserts the collectives).
 
@@ -579,6 +595,8 @@ def make_train_step(config: ViTConfig, mesh: Mesh, *, lr: float = 1e-3,
     (ops/fused_block.fused_encoder_layer_trainable — rematerializing
     backward, x is the only residual per layer), falling back to the flash
     path when the config's weights exceed the trainable VMEM gate.
+    ``grad_clip_norm`` clips gradients by global L2 norm before the update
+    (optax.clip_by_global_norm semantics on both optimizers).
     """
     if attention_impl in ("flash", "fused"):
         from ..ops.attention import packed_fused_attention_trainable
@@ -658,6 +676,8 @@ def make_train_step(config: ViTConfig, mesh: Mesh, *, lr: float = 1e-3,
         @jax.jit
         def step(params, images, labels):
             loss, grads = value_and_grads(params, images, labels)
+            if grad_clip_norm is not None:
+                grads = _clip_by_global_norm(grads, grad_clip_norm)
             new_params = jax.tree.map(
                 lambda p, g: (p - lr * g.astype(jnp.float32)).astype(p.dtype)
                 if jnp.issubdtype(p.dtype, jnp.floating)
@@ -675,6 +695,8 @@ def make_train_step(config: ViTConfig, mesh: Mesh, *, lr: float = 1e-3,
     import optax
 
     tx = optax.adamw(lr, weight_decay=weight_decay)
+    if grad_clip_norm is not None:
+        tx = optax.chain(optax.clip_by_global_norm(grad_clip_norm), tx)
 
     def init_fn(params):
         # jit so GSPMD propagates each param's sharding into its mu/nu

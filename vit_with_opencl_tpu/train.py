@@ -58,6 +58,7 @@ class Trainer:
         compute_dtype=jnp.bfloat16,
         attention_impl: str = "xla",
         grad_accum: int = 1,
+        grad_clip_norm: Optional[float] = None,
         seed: int = 0,
         checkpoint_dir: Optional[str] = None,
         checkpoint_every: int = 0,
@@ -101,6 +102,7 @@ class Trainer:
             config, self.mesh, lr=lr, compute_dtype=compute_dtype,
             optimizer=optimizer, weight_decay=weight_decay,
             attention_impl=attention_impl, grad_accum=grad_accum,
+            grad_clip_norm=grad_clip_norm,
         )
         if optimizer == "sgd":
             self._init_opt, self._step = None, made
