@@ -207,6 +207,31 @@ def test_trainer_sgd_grad_accum(tmp_path):
         tr.save()
 
 
+def test_label_smoothing_loss_semantics():
+    """Smoothed loss = (1-eps)*CE + eps*uniform-CE: larger than plain CE
+    for a confident-correct model, equal at eps=0; invalid eps rejected."""
+    mesh = spmd.make_mesh(data=1, model=1)
+    params = vit.random_stacked_params(CFG, jax.random.key(1), jnp.float32)
+    images, labels = _dataset(8)
+    images, labels = jnp.asarray(images), jnp.asarray(labels)
+
+    def loss_of(**kw):
+        step = spmd.make_train_step(CFG, mesh, lr=0.0, optimizer="sgd",
+                                    compute_dtype=jnp.float32, **kw)
+        _, loss = step(params, images, labels)
+        return float(loss)
+
+    plain = loss_of()
+    zero = loss_of(label_smoothing=0.0)
+    smooth = loss_of(label_smoothing=0.1)
+    assert plain == zero
+    # random logits: uniform-CE ~ log(C) vs CE's label term — both finite,
+    # and the blend must differ from the plain loss.
+    assert np.isfinite(smooth) and abs(smooth - plain) > 1e-6
+    with pytest.raises(ValueError, match="label_smoothing"):
+        spmd.make_train_step(CFG, mesh, label_smoothing=1.0)
+
+
 def test_grad_clip_norm_bounds_update():
     """grad_clip_norm clips by global L2 norm: with a tiny max norm the SGD
     update magnitude is bounded by lr*max_norm; loss still descends over

@@ -576,7 +576,8 @@ def make_train_step(config: ViTConfig, mesh: Mesh, *, lr: float = 1e-3,
                     compute_dtype=jnp.float32, optimizer: str = "sgd",
                     weight_decay: float = 0.05, attention_impl: str = "xla",
                     grad_accum: int = 1, scan_unroll: int = 1,
-                    grad_clip_norm: float | None = None):
+                    grad_clip_norm: float | None = None,
+                    label_smoothing: float = 0.0):
     """Cross-entropy training step, jit over the mesh: batch sharded over
     "data", weights sharded over "model" (GSPMD inserts the collectives).
 
@@ -628,13 +629,23 @@ def make_train_step(config: ViTConfig, mesh: Mesh, *, lr: float = 1e-3,
         # grad-through-while; see models/vit.encoder.
         kernels["encoder_scan_unroll"] = scan_unroll
 
+    if not 0.0 <= label_smoothing < 1.0:
+        raise ValueError(f"label_smoothing must be in [0, 1), got "
+                         f"{label_smoothing}")
+
     def loss_fn(params, images, labels):
         logits = vit.forward(
             images, params, config, compute_dtype=compute_dtype,
             return_logits=True, kernels=kernels,
         )
         logp = jax.nn.log_softmax(logits, axis=-1)
-        return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=-1))
+        nll = -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=-1))
+        if label_smoothing:
+            # Uniform smoothing: (1-eps)*CE(y) + eps*CE(uniform) — the
+            # standard ViT/DeiT training recipe's regularizer.
+            uniform = -jnp.mean(logp)
+            nll = (1.0 - label_smoothing) * nll + label_smoothing * uniform
+        return nll
 
     if grad_accum < 1:
         raise ValueError(f"grad_accum must be >= 1, got {grad_accum}")

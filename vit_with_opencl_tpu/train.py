@@ -59,6 +59,7 @@ class Trainer:
         attention_impl: str = "xla",
         grad_accum: int = 1,
         grad_clip_norm: Optional[float] = None,
+        label_smoothing: float = 0.0,
         seed: int = 0,
         checkpoint_dir: Optional[str] = None,
         checkpoint_every: int = 0,
@@ -102,7 +103,7 @@ class Trainer:
             config, self.mesh, lr=lr, compute_dtype=compute_dtype,
             optimizer=optimizer, weight_decay=weight_decay,
             attention_impl=attention_impl, grad_accum=grad_accum,
-            grad_clip_norm=grad_clip_norm,
+            grad_clip_norm=grad_clip_norm, label_smoothing=label_smoothing,
         )
         if optimizer == "sgd":
             self._init_opt, self._step = None, made
