@@ -207,6 +207,42 @@ def test_trainer_sgd_grad_accum(tmp_path):
         tr.save()
 
 
+def test_trainer_ema_tracks_params(tmp_path):
+    """EMA shadow weights lag the live params toward them (timm-style eval
+    weights); they checkpoint/resume and export via use_ema=True."""
+    images, labels = _dataset(16)
+    tr = Trainer(CFG, lr=5e-2, optimizer="sgd", compute_dtype=jnp.float32,
+                 ema_decay=0.5, log_every=0,
+                 checkpoint_dir=str(tmp_path / "ck"), checkpoint_every=2)
+    init = jax.tree.map(np.asarray, tr.ema_params)
+    tr.fit(data_mod.memory_dataset(images, labels, 16, epochs=4, seed=3))
+    ema = jax.tree.map(np.asarray, tr.ema_params)
+    live = jax.tree.map(np.asarray, tr.params)
+    # EMA moved off the init and sits strictly between init and live for
+    # at least the big matrices.
+    q0, qe, ql = (t["layers"]["qkv_w"] for t in (init, ema, live))
+    assert np.abs(qe - q0).max() > 0
+    assert np.abs(qe - ql).max() > 0  # lags, not equal
+    d_e, d_l = np.abs(qe - q0).mean(), np.abs(ql - q0).mean()
+    assert d_e < d_l  # shadow trails the live weights
+
+    # resume restores the shadow
+    tr2 = Trainer(CFG, lr=5e-2, optimizer="sgd",
+                  compute_dtype=jnp.float32, ema_decay=0.5, log_every=0,
+                  checkpoint_dir=str(tmp_path / "ck"))
+    assert tr2.resume()
+    np.testing.assert_allclose(
+        np.asarray(tr2.ema_params["layers"]["qkv_w"]),
+        np.asarray(tr.ema_params["layers"]["qkv_w"]), atol=0)
+
+    out = tr.export_reference(str(tmp_path / "W"), use_ema=True)
+    assert out  # directory written
+    with pytest.raises(ValueError, match="ema_decay"):
+        Trainer(CFG, optimizer="sgd", log_every=0,
+                compute_dtype=jnp.float32).export_reference(
+            str(tmp_path / "W2"), use_ema=True)
+
+
 def test_label_smoothing_loss_semantics():
     """Smoothed loss = (1-eps)*CE + eps*uniform-CE: larger than plain CE
     for a confident-correct model, equal at eps=0; invalid eps rejected."""

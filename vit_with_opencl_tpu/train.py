@@ -60,6 +60,7 @@ class Trainer:
         grad_accum: int = 1,
         grad_clip_norm: Optional[float] = None,
         label_smoothing: float = 0.0,
+        ema_decay: Optional[float] = None,
         seed: int = 0,
         checkpoint_dir: Optional[str] = None,
         checkpoint_every: int = 0,
@@ -117,6 +118,30 @@ class Trainer:
             self._init_opt(self.params) if self._init_opt else None
         )
 
+        # EMA shadow weights (timm-style; the eval/export weights of the
+        # standard ViT recipe). None unless ema_decay is set.
+        self.ema_decay = ema_decay
+        self.ema_params = None
+        if ema_decay is not None:
+            if not 0.0 < ema_decay < 1.0:
+                raise ValueError(f"ema_decay must be in (0, 1), got "
+                                 f"{ema_decay}")
+            self.ema_params = self.params
+
+            @jax.jit
+            def _ema_update(ema, params):
+                d = jnp.float32(ema_decay)
+                return jax.tree.map(
+                    lambda e, p: (d * e.astype(jnp.float32)
+                                  + (1.0 - d) * p.astype(jnp.float32)
+                                  ).astype(e.dtype)
+                    if jnp.issubdtype(jnp.asarray(e).dtype, jnp.floating)
+                    else p,
+                    ema, params,
+                )
+
+            self._ema_update = _ema_update
+
     # -- checkpointing ----------------------------------------------------
 
     def _ckpt_path(self, step: int) -> str:
@@ -129,6 +154,8 @@ class Trainer:
         tree = {"params": self.params, "step": np.int64(self.step_idx)}
         if self.opt_state is not None:
             tree["opt_state"] = self.opt_state
+        if self.ema_params is not None:
+            tree["ema_params"] = self.ema_params
         path = self._ckpt_path(self.step_idx)
         ckpt_io.save_checkpoint(path, tree)
         return path
@@ -148,20 +175,28 @@ class Trainer:
         like = {"params": self.params, "step": np.int64(0)}
         if self.opt_state is not None:
             like["opt_state"] = self.opt_state
+        if self.ema_params is not None:
+            like["ema_params"] = self.ema_params
         tree = ckpt_io.load_checkpoint(path, like)
         self.params = tree["params"]
         self.opt_state = tree.get("opt_state")
+        if self.ema_params is not None:
+            self.ema_params = tree.get("ema_params", self.params)
         self.step_idx = int(tree["step"])
         return True
 
-    def export_reference(self, directory: str):
+    def export_reference(self, directory: str, *, use_ema: bool = False):
         """Write the trained weights as a reference-format checkpoint
         (``Weight_<idx>_<name>.bin`` directory) loadable by the CLI/engine
-        and the reference comparator path."""
+        and the reference comparator path. ``use_ema`` exports the EMA
+        shadow weights instead (the standard ViT eval weights)."""
         from .io.export import export_weights
 
+        src = self.ema_params if use_ema else self.params
+        if use_ema and src is None:
+            raise ValueError("use_ema=True but Trainer has no ema_decay")
         named = vit.unstack_params(
-            jax.tree.map(np.asarray, self.params), self.config)
+            jax.tree.map(np.asarray, src), self.config)
         return export_weights(named, directory, self.config)
 
     # -- the loop ---------------------------------------------------------
@@ -188,6 +223,9 @@ class Trainer:
                     self.params, self.opt_state, loss = self._step(
                         self.params, self.opt_state, images, labels)
                 self.step_idx += 1
+                if self.ema_params is not None:
+                    self.ema_params = self._ema_update(
+                        self.ema_params, self.params)
                 imgs_done += images.shape[0]
                 if self.log_every and self.step_idx % self.log_every == 0:
                     l = float(np.asarray(loss))  # host fetch = sync point
