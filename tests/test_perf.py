@@ -100,13 +100,14 @@ def test_tune_and_save_then_engine_consumes(tmp_path):
     result = autotune.tune_and_save(
         CFG, 4, dtype=jnp.float32, path=path, timer=fake_timer
     )
-    assert result["attention_ipc"] >= 1
     # CFG's whole stack fits VMEM, so the sweep targets the production
-    # path for it — the whole-encoder STACK kernel, not the per-layer one.
+    # path for it — the whole-encoder STACK kernel, not the per-layer one,
+    # and the packed-attention sweeps are skipped (dead code for it).
     assert "fused_stack_ipc" in result
     assert "fused_block_ipc" not in result
+    assert "attention_ipc" not in result
     saved = autotune.lookup(CFG, 4, jnp.float32, path=path)
-    assert saved["attention_ipc"] == result["attention_ipc"]
+    assert saved["fused_stack_ipc"] == result["fused_stack_ipc"]
     assert autotune.lookup(CFG, 999, jnp.float32, path=path) == {}
 
     named = fixtures.random_params(CFG, seed=1, scale=0.05)
@@ -116,7 +117,7 @@ def test_tune_and_save_then_engine_consumes(tmp_path):
         compute_dtype=jnp.float32, attention_impl="flash",
         tuning_path=str(path),
     )
-    assert eng.tuning["attention_ipc"] == result["attention_ipc"]
+    assert eng.tuning["fused_stack_ipc"] == result["fused_stack_ipc"]
     ref = golden.golden_forward(images, named, CFG)
     got = eng.run(images)
     np.testing.assert_allclose(got, ref, atol=1e-5)
@@ -295,15 +296,29 @@ def test_tune_and_save_knob_restriction_merges(tmp_path):
     def fake_timer(fn, args, iters):
         return 1.0
 
-    r1 = autotune.tune_and_save(CFG, 4, dtype=jnp.float32, path=path,
+    # Per-layer-class config so the attention sweep actually runs.
+    mid = ViTConfig(name="perf_mid_kn", img_size=32, patch_size=8,
+                    embed_dim=512, depth=12, num_heads=8, num_classes=11)
+    r1 = autotune.tune_and_save(mid, 4, dtype=jnp.float32, path=path,
                                 timer=fake_timer, knobs=["ipc"])
-    assert "fused_stack_ipc" in r1 and "attention_ipc" not in r1
-    r2 = autotune.tune_and_save(CFG, 4, dtype=jnp.float32, path=path,
+    assert "fused_block_ipc" in r1 and "attention_ipc" not in r1
+    r2 = autotune.tune_and_save(mid, 4, dtype=jnp.float32, path=path,
                                 timer=fake_timer, knobs=["attention"])
     # merged: the ipc winner from the first sweep survives
-    assert r2["attention_ipc"] >= 1 and "fused_stack_ipc" in r2
-    saved = autotune.lookup(CFG, 4, jnp.float32, path=path)
-    assert "attention_ipc" in saved and "fused_stack_ipc" in saved
+    assert r2["attention_ipc"] >= 1 and "fused_block_ipc" in r2
+    saved = autotune.lookup(mid, 4, jnp.float32, path=path)
+    assert "attention_ipc" in saved and "fused_block_ipc" in saved
+
+    # A FULL sweep replaces rather than merges: plant a stale knob the
+    # current gating would never write and confirm it is cleared.
+    key = autotune.tuning_key(CFG, 4, jnp.float32)
+    autotune.save_tuning(path, key, {"attention_ragged": True,
+                                     "device": saved.get("device", "")})
+    full = autotune.tune_and_save(CFG, 4, dtype=jnp.float32, path=path,
+                                  timer=fake_timer)
+    assert "attention_ragged" not in full
+    assert "attention_ragged" not in autotune.lookup(CFG, 4, jnp.float32,
+                                                     path=path)
 
     with pytest.raises(ValueError, match="unknown knobs"):
         autotune.tune_and_save(CFG, 4, dtype=jnp.float32, path=path,

@@ -243,6 +243,35 @@ def test_trainer_ema_tracks_params(tmp_path):
             str(tmp_path / "W2"), use_ema=True)
 
 
+def test_resume_across_ema_setting_change(tmp_path):
+    """Turning EMA on (or off) across restarts must not crash resume():
+    Orbax restores are structure-strict in both directions, so resume
+    retries with the other checkpoint shape."""
+    images, labels = _dataset(16)
+    ck = str(tmp_path / "ck")
+    # checkpoint WITHOUT ema...
+    tr = Trainer(CFG, lr=1e-2, optimizer="sgd", compute_dtype=jnp.float32,
+                 log_every=0, checkpoint_dir=ck, checkpoint_every=2)
+    tr.fit(data_mod.memory_dataset(images, labels, 16, epochs=2, seed=4))
+    # ...resume WITH ema: shadow seeded from the restored params
+    tr_ema = Trainer(CFG, lr=1e-2, optimizer="sgd",
+                     compute_dtype=jnp.float32, ema_decay=0.9,
+                     log_every=0, checkpoint_dir=ck, checkpoint_every=2)
+    assert tr_ema.resume()
+    np.testing.assert_allclose(
+        np.asarray(tr_ema.ema_params["layers"]["qkv_w"]),
+        np.asarray(tr_ema.params["layers"]["qkv_w"]), atol=0)
+    # ...continue training and checkpoint WITH ema, then resume WITHOUT
+    tr_ema.fit(data_mod.memory_dataset(images, labels, 16, epochs=2,
+                                       seed=5))
+    tr_plain = Trainer(CFG, lr=1e-2, optimizer="sgd",
+                       compute_dtype=jnp.float32, log_every=0,
+                       checkpoint_dir=ck)
+    assert tr_plain.resume()
+    assert tr_plain.ema_params is None
+    assert tr_plain.step_idx == tr_ema.step_idx
+
+
 def test_label_smoothing_loss_semantics():
     """Smoothed loss = (1-eps)*CE + eps*uniform-CE: larger than plain CE
     for a confident-correct model, equal at eps=0; invalid eps rejected."""
@@ -300,6 +329,11 @@ def test_grad_clip_norm_bounds_update():
     for a, b in zip(jax.tree.leaves(pa), jax.tree.leaves(pb)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-7)
+
+    # invalid values rejected (0 freezes training, negative flips signs)
+    for bad in (0.0, -1.0):
+        with pytest.raises(ValueError, match="grad_clip_norm"):
+            spmd.make_train_step(CFG, mesh, grad_clip_norm=bad)
 
     # adamw path: clip chains into optax and the loss descends.
     init_fn, step8 = spmd.make_train_step(CFG, mesh, lr=1e-3,

@@ -557,21 +557,6 @@ def dp_forward_fn(config: ViTConfig, mesh: Mesh, *, compute_dtype=jnp.bfloat16,
 # ---------------------------------------------------------------------------
 
 
-def _clip_by_global_norm(grads, max_norm: float):
-    """Scale grads so their global L2 norm is at most ``max_norm`` (fp32
-    norm accumulation; non-floating leaves pass through untouched)."""
-    leaves = [g for g in jax.tree.leaves(grads)
-              if jnp.issubdtype(jnp.asarray(g).dtype, jnp.floating)]
-    gnorm = jnp.sqrt(sum(jnp.sum(jnp.square(g.astype(jnp.float32)))
-                         for g in leaves))
-    scale = jnp.minimum(1.0, max_norm / jnp.maximum(gnorm, 1e-12))
-    return jax.tree.map(
-        lambda g: (g.astype(jnp.float32) * scale).astype(g.dtype)
-        if jnp.issubdtype(jnp.asarray(g).dtype, jnp.floating) else g,
-        grads,
-    )
-
-
 def make_train_step(config: ViTConfig, mesh: Mesh, *, lr: float = 1e-3,
                     compute_dtype=jnp.float32, optimizer: str = "sgd",
                     weight_decay: float = 0.05, attention_impl: str = "xla",
@@ -632,6 +617,17 @@ def make_train_step(config: ViTConfig, mesh: Mesh, *, lr: float = 1e-3,
     if not 0.0 <= label_smoothing < 1.0:
         raise ValueError(f"label_smoothing must be in [0, 1), got "
                          f"{label_smoothing}")
+    clip_tx = None
+    if grad_clip_norm is not None:
+        if not grad_clip_norm > 0.0:
+            # 0 silently freezes training; negative flips gradient signs.
+            raise ValueError(f"grad_clip_norm must be > 0, got "
+                             f"{grad_clip_norm}")
+        import optax
+
+        # ONE clipping implementation for both optimizers (the transform is
+        # stateless, so the sgd path can apply it directly).
+        clip_tx = optax.clip_by_global_norm(grad_clip_norm)
 
     def loss_fn(params, images, labels):
         logits = vit.forward(
@@ -687,8 +683,8 @@ def make_train_step(config: ViTConfig, mesh: Mesh, *, lr: float = 1e-3,
         @jax.jit
         def step(params, images, labels):
             loss, grads = value_and_grads(params, images, labels)
-            if grad_clip_norm is not None:
-                grads = _clip_by_global_norm(grads, grad_clip_norm)
+            if clip_tx is not None:
+                grads, _ = clip_tx.update(grads, clip_tx.init(grads))
             new_params = jax.tree.map(
                 lambda p, g: (p - lr * g.astype(jnp.float32)).astype(p.dtype)
                 if jnp.issubdtype(p.dtype, jnp.floating)
@@ -706,8 +702,8 @@ def make_train_step(config: ViTConfig, mesh: Mesh, *, lr: float = 1e-3,
     import optax
 
     tx = optax.adamw(lr, weight_decay=weight_decay)
-    if grad_clip_norm is not None:
-        tx = optax.chain(optax.clip_by_global_norm(grad_clip_norm), tx)
+    if clip_tx is not None:
+        tx = optax.chain(clip_tx, tx)
 
     def init_fn(params):
         # jit so GSPMD propagates each param's sharding into its mu/nu

@@ -402,11 +402,19 @@ def tune_and_save(
         "device": str(jax.devices()[0]),
         "timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
     }
-    # A partial sweep (knobs subset) merges into the prior entry.
-    prior = load_tuning(path, tuning_key(config, batch, dtype, quant))
-    if isinstance(prior, dict) and prior.get("device") == result["device"]:
-        result = {**prior, **result}
-    if "attention" in knobs:
+    if set(knobs) != set(all_knobs):
+        # A PARTIAL sweep merges into the prior same-device entry; a full
+        # sweep replaces it outright (merging there would let knobs whose
+        # sweep condition now skips them persist stale forever).
+        prior = load_tuning(path, tuning_key(config, batch, dtype, quant))
+        if isinstance(prior, dict) and prior.get("device") == result["device"]:
+            result = {**prior, **result}
+    # Stack-class configs never execute packed attention in production (the
+    # whole encoder is one launch), so BOTH packed-attention sweeps would be
+    # wasted relay compiles there; per-layer-class configs keep them for the
+    # engines' flash route (fused-unsupported widths/dtypes) and for direct
+    # kernel users.
+    if "attention" in knobs and not stack_ok:
         attn_ipc, attn_table = tune_attention_ipc(
             config, batch, dtype=dtype, iters=iters, timer=timer
         )
@@ -414,10 +422,6 @@ def tune_and_save(
         result["attention_table_ms"] = {str(k): v
                                         for k, v in attn_table.items()}
     if "ragged" in knobs and not stack_ok:
-        # Stack-class configs never execute packed attention in production
-        # (the whole encoder is one launch) — the ragged-route sweep would
-        # be two wasted relay compiles; the attention-ipc sweep above stays
-        # because the TP path uses the packed kernel on any config.
         ragged, ragged_table = tune_ragged_route(
             config, batch, dtype=dtype, iters=iters, timer=timer
         )
@@ -436,23 +440,25 @@ def tune_and_save(
         result["blockwise_block_k"] = int(bk)
         result["blockwise_table_ms"] = {str(k): v
                                         for k, v in bw_table.items()}
-    if "ipc" not in knobs:
-        pass
-    elif stack_ok:
-        # Production path for this config is the whole-encoder stack kernel
-        # — sweep THAT (the per-layer winner would regress it).
-        st_ipc, st_table = tune_fused_stack_ipc(
-            config, batch, dtype=dtype, iters=iters, timer=timer, quant=quant
-        )
-        result["fused_stack_ipc"] = int(st_ipc)
-        result["fused_stack_table_ms"] = {str(k): v
-                                          for k, v in st_table.items()}
-    elif fused_block.supports(config, dtype_bytes=dtype_bytes):
-        fb_ipc, fb_table = tune_fused_block_ipc(
-            config, batch, dtype=dtype, iters=iters, timer=timer, quant=quant
-        )
-        result["fused_block_ipc"] = int(fb_ipc)
-        result["fused_block_table_ms"] = {str(k): v for k, v in fb_table.items()}
+    if "ipc" in knobs:
+        if stack_ok:
+            # Production path for this config is the whole-encoder stack
+            # kernel — sweep THAT (the per-layer winner would regress it).
+            st_ipc, st_table = tune_fused_stack_ipc(
+                config, batch, dtype=dtype, iters=iters, timer=timer,
+                quant=quant
+            )
+            result["fused_stack_ipc"] = int(st_ipc)
+            result["fused_stack_table_ms"] = {str(k): v
+                                              for k, v in st_table.items()}
+        elif fused_block.supports(config, dtype_bytes=dtype_bytes):
+            fb_ipc, fb_table = tune_fused_block_ipc(
+                config, batch, dtype=dtype, iters=iters, timer=timer,
+                quant=quant
+            )
+            result["fused_block_ipc"] = int(fb_ipc)
+            result["fused_block_table_ms"] = {str(k): v
+                                              for k, v in fb_table.items()}
     os.makedirs(os.path.dirname(str(path)) or ".", exist_ok=True)
     save_tuning(path, tuning_key(config, batch, dtype, quant), result)
     return result
@@ -484,7 +490,8 @@ def main(argv=None) -> int:
                              " relay); partial results merge into the cache")
     args = parser.parse_args(argv)
     cfg = get_config(args.config)
-    knobs = args.knobs.split(",") if args.knobs else None
+    knobs = ([k.strip() for k in args.knobs.split(",") if k.strip()]
+             if args.knobs else None)
     result = tune_and_save(cfg, args.batch, dtype=jnp.dtype(args.dtype),
                            path=args.out, iters=args.iters, quant=args.quant,
                            knobs=knobs)

@@ -177,10 +177,24 @@ class Trainer:
             like["opt_state"] = self.opt_state
         if self.ema_params is not None:
             like["ema_params"] = self.ema_params
-        tree = ckpt_io.load_checkpoint(path, like)
+        try:
+            tree = ckpt_io.load_checkpoint(path, like)
+        except ValueError:
+            # The checkpoint's EMA presence differs from this Trainer's
+            # ema_decay setting (Orbax restores are structure-strict in
+            # BOTH directions): retry with the other shape so a run can
+            # turn EMA on/off across restarts.
+            flipped = dict(like)
+            if "ema_params" in flipped:
+                del flipped["ema_params"]
+            else:
+                flipped["ema_params"] = self.params
+            tree = ckpt_io.load_checkpoint(path, flipped)
         self.params = tree["params"]
         self.opt_state = tree.get("opt_state")
         if self.ema_params is not None:
+            # EMA requested: seed from the checkpoint's shadow if it has
+            # one, else restart the average from the restored params.
             self.ema_params = tree.get("ema_params", self.params)
         self.step_idx = int(tree["step"])
         return True
