@@ -390,3 +390,101 @@ def test_device_kernel_table_from_trace(tmp_path):
     text = kernel_trace.format_kernel_table(table, iters=2)
     assert "kernel" in text and "avg ms" in text
     assert table[0].name.split("(")[0][:12] in text
+
+
+def test_tune_and_save_points_accumulates(tmp_path):
+    """`--points N` mode: each invocation measures at most N NEW candidates,
+    merges the table into the cache, and only writes a knob's winner once
+    its table is complete — so repeated short relay windows accumulate a
+    big-config sweep (VERDICT r3 item 6)."""
+    from vit_with_opencl_tpu.perf import autotune
+
+    path = tmp_path / "tuning.json"
+    measured = []
+
+    def fake_timer(fn, args, iters):
+        measured.append(1)
+        return float(len(measured))  # earlier measurement "wins"
+
+    # Per-layer-class config: the attention ipc sweep has 3 candidates
+    # (batch 4 -> ipc 1, 2, 4) and the ragged sweep 2 more.
+    mid = ViTConfig(name="perf_mid_pts", img_size=32, patch_size=8,
+                    embed_dim=512, depth=12, num_heads=8, num_classes=11)
+    r1 = autotune.tune_and_save(mid, 4, dtype=jnp.float32, path=path,
+                                timer=fake_timer, knobs=["attention"],
+                                points=2)
+    assert len(measured) == 2
+    assert "attention_ipc" not in r1  # incomplete: no winner yet
+    assert len(r1["attention_table_ms"]) == 2
+    # Engines consulting the cache mid-accumulation get no half-swept winner.
+    assert "attention_ipc" not in autotune.lookup(mid, 4, jnp.float32,
+                                                  path=path)
+
+    r2 = autotune.tune_and_save(mid, 4, dtype=jnp.float32, path=path,
+                                timer=fake_timer, knobs=["attention"],
+                                points=2)
+    assert len(measured) == 3  # only the 1 remaining candidate measured
+    assert r2["attention_ipc"] == 1  # first-measured candidate won
+    assert len(r2["attention_table_ms"]) == 3
+    assert autotune.lookup(mid, 4, jnp.float32,
+                           path=path)["attention_ipc"] == 1
+
+    # A later points run with everything measured takes no new measurements.
+    r3 = autotune.tune_and_save(mid, 4, dtype=jnp.float32, path=path,
+                                timer=fake_timer, knobs=["attention"],
+                                points=5)
+    assert len(measured) == 3
+    assert r3["attention_ipc"] == 1
+
+    with pytest.raises(ValueError, match="points"):
+        autotune.tune_and_save(mid, 4, dtype=jnp.float32, path=path,
+                               timer=fake_timer, points=0)
+
+
+def test_points_budget_spans_knobs(tmp_path):
+    """The points budget is shared across knobs in one invocation: attention
+    (3 candidates) exhausts a budget of 4 after ragged's first candidate."""
+    from vit_with_opencl_tpu.perf import autotune
+
+    path = tmp_path / "tuning.json"
+    n = [0]
+
+    def fake_timer(fn, args, iters):
+        n[0] += 1
+        return 1.0
+
+    mid = ViTConfig(name="perf_mid_span", img_size=32, patch_size=8,
+                    embed_dim=512, depth=12, num_heads=8, num_classes=11)
+    r = autotune.tune_and_save(mid, 4, dtype=jnp.float32, path=path,
+                               timer=fake_timer,
+                               knobs=["attention", "ragged"], points=4)
+    assert n[0] == 4
+    assert "attention_ipc" in r  # complete (3 measurements)
+    assert "attention_ragged" not in r  # partial (1 of 2)
+    assert len(r["attention_ragged_table_ms"]) == 1
+    r = autotune.tune_and_save(mid, 4, dtype=jnp.float32, path=path,
+                               timer=fake_timer,
+                               knobs=["attention", "ragged"], points=4)
+    assert n[0] == 5  # just ragged's remaining candidate
+    assert "attention_ragged" in r
+
+
+def test_lookup_fallback_is_tagged(tmp_path):
+    """A quant lookup served from the bf16 prior is tagged with
+    `fallback_from` so benchmarks can tell it from a real quant sweep
+    (ADVICE r3); a real quant entry carries no tag."""
+    from vit_with_opencl_tpu.perf import autotune
+
+    path = tmp_path / "tuning.json"
+    base = autotune.tuning_key(CFG, 4, jnp.float32)
+    autotune.save_tuning(path, base, {"attention_ipc": 2})
+    got = autotune.lookup(CFG, 4, jnp.float32, path=path, quant="int8-w8a8")
+    assert got["attention_ipc"] == 2
+    assert got["fallback_from"] == base
+    # The tag is never written back into the cache.
+    assert "fallback_from" not in autotune.load_tuning(path, base)
+
+    qkey = autotune.tuning_key(CFG, 4, jnp.float32, quant="int8-w8a8")
+    autotune.save_tuning(path, qkey, {"attention_ipc": 4})
+    got = autotune.lookup(CFG, 4, jnp.float32, path=path, quant="int8-w8a8")
+    assert got["attention_ipc"] == 4 and "fallback_from" not in got

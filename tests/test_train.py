@@ -347,3 +347,69 @@ def test_grad_clip_norm_bounds_update():
         p, s, loss = step8(p, s, images, labels)
         losses.append(float(loss))
     assert losses[-1] < losses[0]
+
+
+def test_resume_across_grad_clip_setting_change(tmp_path):
+    """Toggling grad_clip_norm wraps adamw in optax.chain, changing the
+    opt_state pytree structure (ADVICE r3): resume must fall back to a
+    fresh optimizer state with a warning instead of crashing, and params/
+    step must still restore."""
+    images, labels = _dataset(16)
+    ck = str(tmp_path / "ck")
+    tr = Trainer(CFG, lr=1e-2, optimizer="adamw", compute_dtype=jnp.float32,
+                 log_every=0, checkpoint_dir=ck, checkpoint_every=2)
+    tr.fit(data_mod.memory_dataset(images, labels, 16, epochs=2, seed=4))
+    assert tr.step_idx == 2
+
+    logs = []
+    tr_clip = Trainer(CFG, lr=1e-2, optimizer="adamw",
+                      compute_dtype=jnp.float32, grad_clip_norm=1.0,
+                      log_every=0, log_fn=logs.append, checkpoint_dir=ck)
+    assert tr_clip.resume()
+    assert tr_clip.step_idx == 2
+    assert any("opt_state" in m for m in logs)  # warned about the restart
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)),
+        tr_clip.params, tr.params)
+    assert tr_clip.opt_state is not None  # fresh, usable state
+    tr_clip.fit(data_mod.memory_dataset(images, labels, 16, epochs=2,
+                                        seed=5))
+    assert tr_clip.step_idx == 4 and np.isfinite(tr_clip.last_loss)
+
+    # The reverse direction (clip -> no clip) also resumes.
+    tr_clip.save()
+    tr_back = Trainer(CFG, lr=1e-2, optimizer="adamw",
+                      compute_dtype=jnp.float32, log_every=0,
+                      checkpoint_dir=ck)
+    assert tr_back.resume()
+    assert tr_back.step_idx == 4
+
+    # An sgd (stateless) trainer can read an adamw checkpoint's params.
+    tr_sgd = Trainer(CFG, lr=1e-2, optimizer="sgd",
+                     compute_dtype=jnp.float32, log_every=0,
+                     checkpoint_dir=ck)
+    assert tr_sgd.resume()
+    assert tr_sgd.step_idx == 4 and tr_sgd.opt_state is None
+
+
+def test_ema_shadow_stays_fp32():
+    """The EMA shadow is fp32 regardless of param dtype (a bf16 shadow with
+    decay ~0.9999 has per-step increments below bf16 ulp and silently
+    freezes — ADVICE r3); matching timm's ModelEmaV2."""
+    images, labels = _dataset(16)
+    tr = Trainer(CFG, lr=5e-2, optimizer="sgd", compute_dtype=jnp.float32,
+                 ema_decay=0.9999, log_every=0)
+    floats = [l for l in jax.tree.leaves(tr.ema_params)
+              if jnp.issubdtype(jnp.asarray(l).dtype, jnp.floating)]
+    assert floats and all(
+        jnp.asarray(l).dtype == jnp.float32 for l in floats)
+    # head_w gets gradients from step 1 (encoder weights don't: the
+    # zero-init head blocks backprop on the very first step).
+    before = np.asarray(tr.ema_params["head_w"]).copy()
+    tr.fit(data_mod.memory_dataset(images, labels, 16, epochs=2, seed=6))
+    after = np.asarray(tr.ema_params["head_w"])
+    assert after.dtype == np.float32
+    # Steps at decay 0.9999 still move the fp32 shadow (the bf16-ulp
+    # freeze this guards against would leave it bit-identical).
+    assert np.abs(after - before).max() > 0

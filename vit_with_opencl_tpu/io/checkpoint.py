@@ -26,6 +26,27 @@ def save_checkpoint(path: str | os.PathLike, params: Dict[str, Any]) -> None:
     ckptr.wait_until_finished()
 
 
+def checkpoint_structure(path: str | os.PathLike) -> Optional[Dict[str, Any]]:
+    """The saved pytree's structure (a nested dict with metadata leaves),
+    or None if the metadata cannot be read (older orbax layouts, foreign
+    checkpoints).
+
+    Lets callers adapt their restore template to what the checkpoint
+    actually contains — e.g. a Trainer resuming across an EMA or
+    grad-clip setting change, where the opt_state/ema_params presence
+    differs from the current run's — instead of guessing via retry.
+    """
+    import orbax.checkpoint as ocp
+
+    try:
+        md = ocp.StandardCheckpointer().metadata(os.path.abspath(path))
+        tree = getattr(md, "item_metadata", md)
+        tree = getattr(tree, "tree", tree)
+        return tree if isinstance(tree, dict) else None
+    except Exception:
+        return None
+
+
 def load_checkpoint(
     path: str | os.PathLike,
     like: Optional[Dict[str, Any]] = None,

@@ -50,18 +50,33 @@ def sweep(
     *,
     iters: int = 20,
     timer: Optional[Callable] = None,
+    prior: Optional[Dict] = None,
+    budget: Optional[list] = None,
 ) -> Tuple[object, Dict]:
     """Time ``build(candidate)`` for each candidate; return (best, table).
 
     Candidates whose build/compile/run fails (e.g. VMEM OOM) are recorded as
     inf and skipped — an OOM config is a data point, not an error.
+
+    ``prior``: already-measured {candidate: ms} carried over from an earlier
+    partial run — those candidates are skipped. ``budget``: a mutable
+    one-element list counting remaining NEW measurements this invocation may
+    take (shared across knobs by ``tune_and_save --points``); when it runs
+    out mid-sweep, the partial table is returned with best=None so repeated
+    short windows accumulate toward a complete sweep.
     """
     timer = timer or time_fn
     candidates = list(candidates)
     if not candidates:
         raise ValueError("no candidates to sweep (e.g. none divides the batch)")
-    table: Dict = {}
+    table: Dict = dict(prior) if prior else {}
     for cand in candidates:
+        if cand in table:
+            continue
+        if budget is not None:
+            if budget[0] <= 0:
+                return None, table  # out of measurements: partial
+            budget[0] -= 1
         try:
             fn = build(cand)
             table[cand] = timer(fn, args, iters)
@@ -82,6 +97,8 @@ def tune_attention_ipc(
     iters: int = 20,
     timer: Optional[Callable] = None,
     qkv: Optional[jax.Array] = None,
+    prior: Optional[Dict] = None,
+    budget: Optional[list] = None,
 ) -> Tuple[int, Dict[int, float]]:
     """Sweep images-per-cell for the packed attention kernel on this device."""
     from ..ops.attention import packed_fused_attention
@@ -100,7 +117,8 @@ def tune_attention_ipc(
         ))
 
     valid = [c for c in candidates if batch % c == 0]
-    return sweep(valid, build, (qkv,), iters=iters, timer=timer)
+    return sweep(valid, build, (qkv,), iters=iters, timer=timer,
+                 prior=prior, budget=budget)
 
 
 def tune_fused_block_ipc(
@@ -112,6 +130,8 @@ def tune_fused_block_ipc(
     iters: int = 20,
     timer: Optional[Callable] = None,
     quant: Optional[str] = None,
+    prior: Optional[Dict] = None,
+    budget: Optional[list] = None,
 ) -> Tuple[int, Dict[int, float]]:
     """Sweep images-per-cell for the whole-layer fused block on this device.
 
@@ -146,7 +166,8 @@ def tune_fused_block_ipc(
         ))
 
     valid = [c for c in candidates if batch % c == 0]
-    return sweep(valid, build, (x, lp), iters=iters, timer=timer)
+    return sweep(valid, build, (x, lp), iters=iters, timer=timer,
+                 prior=prior, budget=budget)
 
 
 def tune_fused_stack_ipc(
@@ -158,6 +179,8 @@ def tune_fused_stack_ipc(
     iters: int = 20,
     timer: Optional[Callable] = None,
     quant: Optional[str] = None,
+    prior: Optional[Dict] = None,
+    budget: Optional[list] = None,
 ) -> Tuple[int, Dict[int, float]]:
     """Sweep images-per-cell for the whole-ENCODER stack kernel — the
     production path for configs passing supports_stack. Separate from the
@@ -190,7 +213,7 @@ def tune_fused_stack_ipc(
 
     valid = [c for c in candidates if batch % c == 0]
     return sweep(valid, build, (x, params["layers"]), iters=iters,
-                 timer=timer)
+                 timer=timer, prior=prior, budget=budget)
 
 
 def tune_ragged_route(
@@ -200,6 +223,8 @@ def tune_ragged_route(
     dtype=jnp.bfloat16,
     iters: int = 20,
     timer: Optional[Callable] = None,
+    prior: Optional[Dict] = None,
+    budget: Optional[list] = None,
 ) -> Tuple[bool, Dict[bool, float]]:
     """Measure ragged (unpadded) vs padded packed-attention blocks for this
     exact (config, batch) instead of trusting the 2 MB knee heuristic
@@ -219,7 +244,8 @@ def tune_ragged_route(
             packed_fused_attention, config=config, ragged=ragged,
         ))
 
-    return sweep([True, False], build, (qkv,), iters=iters, timer=timer)
+    return sweep([True, False], build, (qkv,), iters=iters, timer=timer,
+                 prior=prior, budget=budget)
 
 
 def tune_blockwise_blocks(
@@ -234,6 +260,8 @@ def tune_blockwise_blocks(
     ),
     iters: int = 10,
     timer: Optional[Callable] = None,
+    prior: Optional[Dict] = None,
+    budget: Optional[list] = None,
 ) -> Tuple[Tuple[int, int], Dict]:
     """Sweep (block_q, block_k) for the long-sequence blockwise flash
     forward at a given sequence length — the knobs round 2 shipped as
@@ -269,7 +297,8 @@ def tune_blockwise_blocks(
 
     valid = [c for c in candidates
              if c[0] <= seq_len and c[1] <= seq_len]
-    return sweep(valid, build, (), iters=iters, timer=timer)
+    return sweep(valid, build, (), iters=iters, timer=timer,
+                 prior=prior, budget=budget)
 
 
 def tune_fused_linear_blocks(
@@ -340,7 +369,10 @@ def lookup(config: ViTConfig, batch: int, dtype,
 
     A quantized engine asks with its quant mode; if no quant-specific sweep
     was recorded the bf16 entry is the fallback prior (same GEMM shapes,
-    half the resident weight bytes — close, but sweep for exactness).
+    half the resident weight bytes — close, but sweep for exactness). The
+    fallback is tagged ``"fallback_from": <base key>`` so callers and
+    benchmark reports can tell a tuned-for-quant entry from a bf16 prior
+    (the encoder ignores unknown keys, so the tag is inert downstream).
 
     Entries recorded on a different device than the current one are ignored
     — launch-config winners are hardware-specific, and a cache written on
@@ -351,8 +383,10 @@ def lookup(config: ViTConfig, batch: int, dtype,
         entry = load_tuning(path or default_tuning_path(),
                             tuning_key(config, batch, dtype, quant))
         if entry is None and quant:
-            entry = load_tuning(path or default_tuning_path(),
-                                tuning_key(config, batch, dtype))
+            base_key = tuning_key(config, batch, dtype)
+            entry = load_tuning(path or default_tuning_path(), base_key)
+            if isinstance(entry, dict):
+                entry = {**entry, "fallback_from": base_key}
         entry = entry or {}
     except (OSError, ValueError, AttributeError, TypeError):
         return {}
@@ -362,6 +396,24 @@ def lookup(config: ViTConfig, batch: int, dtype,
     if recorded is not None and recorded != str(jax.devices()[0]):
         return {}
     return entry
+
+
+def _parse_prior_table(entry: Dict, key: str) -> Optional[Dict]:
+    """JSON-persisted sweep table ({str(candidate): ms}) → {candidate: ms}
+    with the original candidate types (int / bool / tuple) restored, for
+    resumed sweeps. None if absent or unparseable."""
+    import ast
+
+    tbl = entry.get(key)
+    if not isinstance(tbl, dict):
+        return None
+    out: Dict = {}
+    for k, v in tbl.items():
+        try:
+            out[ast.literal_eval(k)] = v
+        except (ValueError, SyntaxError):
+            return None
+    return out
 
 
 def tune_and_save(
@@ -374,6 +426,7 @@ def tune_and_save(
     timer: Optional[Callable] = None,
     quant: Optional[str] = None,
     knobs: Optional[Sequence[str]] = None,
+    points: Optional[int] = None,
 ) -> Dict:
     """Sweep every production knob for this (config, batch, dtype[, quant])
     on the current device and persist the winners.
@@ -382,6 +435,15 @@ def tune_and_save(
     "blockwise", "ipc"}) — big configs' attention sweeps can take many
     minutes per compile on the tunneled relay, and a partial sweep merges
     into the existing cache entry rather than replacing it.
+
+    ``points`` caps the NEW measurements this invocation takes (a W8A8
+    kernel compile at ViT-L/H/G width is minutes on the relay, so a full
+    sweep exceeds any safe window). Candidates already present in the
+    persisted table are skipped; each run measures up to ``points`` more and
+    merges the table back, so repeated short invocations accumulate into a
+    complete sweep. A knob's winner key is written only once its table
+    covers every candidate — until then engines fall back to the shipped
+    heuristics, never to a half-swept winner.
     """
     from ..ops import fused_block
 
@@ -392,6 +454,9 @@ def tune_and_save(
     if unknown:
         raise ValueError(f"unknown knobs {sorted(unknown)}; pick from "
                          f"{all_knobs}")
+    if points is not None and points < 1:
+        raise ValueError(f"points must be >= 1, got {points}")
+    budget = [points] if points is not None else None
     dtype_bytes = 1 if quant else jnp.dtype(dtype).itemsize
     # W8A8 never routes through the stack kernel (models/vit.encoder: its
     # unrolled-stack + quantize body compiles for >10 min) — sweep what
@@ -402,61 +467,81 @@ def tune_and_save(
         "device": str(jax.devices()[0]),
         "timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
     }
-    if set(knobs) != set(all_knobs):
-        # A PARTIAL sweep merges into the prior same-device entry; a full
-        # sweep replaces it outright (merging there would let knobs whose
-        # sweep condition now skips them persist stale forever).
+    if set(knobs) != set(all_knobs) or points is not None:
+        # A PARTIAL sweep (restricted knobs or a points budget) merges into
+        # the prior same-device entry; a full sweep replaces it outright
+        # (merging there would let knobs whose sweep condition now skips
+        # them persist stale forever).
         prior = load_tuning(path, tuning_key(config, batch, dtype, quant))
         if isinstance(prior, dict) and prior.get("device") == result["device"]:
             result = {**prior, **result}
+
+    def left() -> bool:
+        return budget is None or budget[0] > 0
+
     # Stack-class configs never execute packed attention in production (the
     # whole encoder is one launch), so BOTH packed-attention sweeps would be
     # wasted relay compiles there; per-layer-class configs keep them for the
     # engines' flash route (fused-unsupported widths/dtypes) and for direct
     # kernel users.
-    if "attention" in knobs and not stack_ok:
+    if "attention" in knobs and not stack_ok and left():
         attn_ipc, attn_table = tune_attention_ipc(
-            config, batch, dtype=dtype, iters=iters, timer=timer
+            config, batch, dtype=dtype, iters=iters, timer=timer,
+            prior=_parse_prior_table(result, "attention_table_ms"),
+            budget=budget,
         )
-        result["attention_ipc"] = int(attn_ipc)
+        if attn_ipc is not None:
+            result["attention_ipc"] = int(attn_ipc)
         result["attention_table_ms"] = {str(k): v
                                         for k, v in attn_table.items()}
-    if "ragged" in knobs and not stack_ok:
+    if "ragged" in knobs and not stack_ok and left():
         ragged, ragged_table = tune_ragged_route(
-            config, batch, dtype=dtype, iters=iters, timer=timer
+            config, batch, dtype=dtype, iters=iters, timer=timer,
+            prior=_parse_prior_table(result, "attention_ragged_table_ms"),
+            budget=budget,
         )
-        result["attention_ragged"] = bool(ragged)
+        if ragged is not None:
+            result["attention_ragged"] = bool(ragged)
         result["attention_ragged_table_ms"] = {
             str(k): v for k, v in ragged_table.items()}
-    if "blockwise" in knobs and config.num_tokens > 1024:
+    if "blockwise" in knobs and config.num_tokens > 1024 and left():
         # Long-sequence configs route through the blockwise flash kernel:
         # sweep its block shapes too.
-        (bq, bk), bw_table = tune_blockwise_blocks(
+        bqk, bw_table = tune_blockwise_blocks(
             config.num_tokens, config.head_dim,
             batch_heads=min(batch * config.num_heads, 16), dtype=dtype,
             iters=iters, timer=timer,
+            prior=_parse_prior_table(result, "blockwise_table_ms"),
+            budget=budget,
         )
-        result["blockwise_block_q"] = int(bq)
-        result["blockwise_block_k"] = int(bk)
+        if bqk is not None:
+            result["blockwise_block_q"] = int(bqk[0])
+            result["blockwise_block_k"] = int(bqk[1])
         result["blockwise_table_ms"] = {str(k): v
                                         for k, v in bw_table.items()}
-    if "ipc" in knobs:
+    if "ipc" in knobs and left():
         if stack_ok:
             # Production path for this config is the whole-encoder stack
             # kernel — sweep THAT (the per-layer winner would regress it).
             st_ipc, st_table = tune_fused_stack_ipc(
                 config, batch, dtype=dtype, iters=iters, timer=timer,
-                quant=quant
+                quant=quant,
+                prior=_parse_prior_table(result, "fused_stack_table_ms"),
+                budget=budget,
             )
-            result["fused_stack_ipc"] = int(st_ipc)
+            if st_ipc is not None:
+                result["fused_stack_ipc"] = int(st_ipc)
             result["fused_stack_table_ms"] = {str(k): v
                                               for k, v in st_table.items()}
         elif fused_block.supports(config, dtype_bytes=dtype_bytes):
             fb_ipc, fb_table = tune_fused_block_ipc(
                 config, batch, dtype=dtype, iters=iters, timer=timer,
-                quant=quant
+                quant=quant,
+                prior=_parse_prior_table(result, "fused_block_table_ms"),
+                budget=budget,
             )
-            result["fused_block_ipc"] = int(fb_ipc)
+            if fb_ipc is not None:
+                result["fused_block_ipc"] = int(fb_ipc)
             result["fused_block_table_ms"] = {str(k): v
                                               for k, v in fb_table.items()}
     os.makedirs(os.path.dirname(str(path)) or ".", exist_ok=True)
@@ -488,13 +573,19 @@ def main(argv=None) -> int:
                              " — restrict the sweep (big-config attention"
                              " sweeps can take minutes per compile on the"
                              " relay); partial results merge into the cache")
+    parser.add_argument("--points", type=int, default=None,
+                        help="measure at most N NEW candidates this run and"
+                             " merge into the cache — repeated short"
+                             " invocations accumulate a complete big-config"
+                             " sweep (winners are written only once a knob's"
+                             " table is complete)")
     args = parser.parse_args(argv)
     cfg = get_config(args.config)
     knobs = ([k.strip() for k in args.knobs.split(",") if k.strip()]
              if args.knobs else None)
     result = tune_and_save(cfg, args.batch, dtype=jnp.dtype(args.dtype),
                            path=args.out, iters=args.iters, quant=args.quant,
-                           knobs=knobs)
+                           knobs=knobs, points=args.points)
     print(json.dumps({tuning_key(cfg, args.batch, jnp.dtype(args.dtype),
                                  args.quant):
                       result}, indent=2))

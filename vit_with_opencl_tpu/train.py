@@ -33,6 +33,27 @@ __all__ = ["Trainer"]
 _STEP_RE = re.compile(r"^step_(\d{8})$")
 
 
+def _f32_shadow(params):
+    """fp32 copy of every floating leaf (the EMA shadow's dtype contract:
+    a bf16 shadow with decay ~0.9999 has per-step increments below bf16 ulp
+    and silently freezes — timm's ModelEmaV2 keeps fp32 for the same
+    reason; cast back only at export)."""
+    return jax.tree.map(
+        lambda p: p.astype(jnp.float32)
+        if jnp.issubdtype(jnp.asarray(p).dtype, jnp.floating) else p,
+        params,
+    )
+
+
+def _abstract_like(metadata_tree):
+    """Checkpoint-metadata subtree (io.checkpoint.checkpoint_structure) →
+    abstract restore template with the checkpoint's own shapes/dtypes."""
+    return jax.tree.map(
+        lambda m: jax.ShapeDtypeStruct(tuple(m.shape), np.dtype(str(m.dtype))),
+        metadata_tree,
+    )
+
+
 class Trainer:
     """Owns params/optimizer state and runs the step loop over a mesh.
 
@@ -126,15 +147,13 @@ class Trainer:
             if not 0.0 < ema_decay < 1.0:
                 raise ValueError(f"ema_decay must be in (0, 1), got "
                                  f"{ema_decay}")
-            self.ema_params = self.params
+            self.ema_params = _f32_shadow(self.params)
 
             @jax.jit
             def _ema_update(ema, params):
                 d = jnp.float32(ema_decay)
                 return jax.tree.map(
-                    lambda e, p: (d * e.astype(jnp.float32)
-                                  + (1.0 - d) * p.astype(jnp.float32)
-                                  ).astype(e.dtype)
+                    lambda e, p: d * e + (1.0 - d) * p.astype(jnp.float32)
                     if jnp.issubdtype(jnp.asarray(e).dtype, jnp.floating)
                     else p,
                     ema, params,
@@ -168,34 +187,76 @@ class Trainer:
         return self._ckpt_path(max(steps)) if steps else None
 
     def resume(self) -> bool:
-        """Load the newest checkpoint if one exists. Returns True if so."""
+        """Load the newest checkpoint if one exists. Returns True if so.
+
+        The restore template is adapted to the checkpoint's ACTUAL structure
+        (``io.checkpoint.checkpoint_structure`` — Orbax restores are
+        structure-strict in both directions), so a run survives setting
+        changes across restarts: EMA on/off (the shadow is seeded from the
+        restored params when the checkpoint has none), and opt_state
+        structure drift (e.g. toggling ``grad_clip_norm`` wraps adamw in an
+        ``optax.chain`` whose state pytree differs) — the optimizer state
+        restarts from scratch with a logged warning rather than crashing.
+        """
         path = self.latest_checkpoint()
         if path is None:
             return False
-        like = {"params": self.params, "step": np.int64(0)}
-        if self.opt_state is not None:
-            like["opt_state"] = self.opt_state
-        if self.ema_params is not None:
-            like["ema_params"] = self.ema_params
-        try:
-            tree = ckpt_io.load_checkpoint(path, like)
-        except ValueError:
-            # The checkpoint's EMA presence differs from this Trainer's
-            # ema_decay setting (Orbax restores are structure-strict in
-            # BOTH directions): retry with the other shape so a run can
-            # turn EMA on/off across restarts.
-            flipped = dict(like)
-            if "ema_params" in flipped:
-                del flipped["ema_params"]
-            else:
-                flipped["ema_params"] = self.params
-            tree = ckpt_io.load_checkpoint(path, flipped)
+        structure = ckpt_io.checkpoint_structure(path)
+        restored_opt = False
+        if structure is None:
+            # Metadata unreadable (older orbax layout / foreign checkpoint):
+            # the legacy EMA-presence flip-retry is the only recourse.
+            like = {"params": self.params, "step": np.int64(0)}
+            if self.opt_state is not None:
+                like["opt_state"] = self.opt_state
+            if self.ema_params is not None:
+                like["ema_params"] = self.ema_params
+            try:
+                tree = ckpt_io.load_checkpoint(path, like)
+            except ValueError:
+                flipped = dict(like)
+                if "ema_params" in flipped:
+                    del flipped["ema_params"]
+                else:
+                    flipped["ema_params"] = self.params
+                tree = ckpt_io.load_checkpoint(path, flipped)
+            restored_opt = tree.get("opt_state") is not None
+        else:
+            like = {"params": self.params, "step": np.int64(0)}
+            if "opt_state" in structure:
+                # Restore the stored opt_state only when this Trainer can
+                # use it; structure-strictness forces restoring SOMETHING
+                # for the key either way (abstract, then discarded).
+                if self.opt_state is not None:
+                    like["opt_state"] = self.opt_state
+                    restored_opt = True
+                else:
+                    like["opt_state"] = _abstract_like(structure["opt_state"])
+            if "ema_params" in structure:
+                like["ema_params"] = _abstract_like(structure["ema_params"])
+            try:
+                tree = ckpt_io.load_checkpoint(path, like)
+            except ValueError:
+                if not restored_opt:
+                    raise  # not an opt_state mismatch — genuine failure
+                self.log_fn(
+                    f"resume: opt_state in {path} does not match this "
+                    "Trainer's optimizer settings (e.g. grad_clip_norm "
+                    "changed); restarting optimizer state from scratch"
+                )
+                like["opt_state"] = _abstract_like(structure["opt_state"])
+                restored_opt = False
+                tree = ckpt_io.load_checkpoint(path, like)
         self.params = tree["params"]
-        self.opt_state = tree.get("opt_state")
+        if self.opt_state is not None:
+            self.opt_state = (tree["opt_state"] if restored_opt
+                              else self._init_opt(self.params))
         if self.ema_params is not None:
             # EMA requested: seed from the checkpoint's shadow if it has
             # one, else restart the average from the restored params.
-            self.ema_params = tree.get("ema_params", self.params)
+            ema = tree.get("ema_params")
+            self.ema_params = _f32_shadow(
+                ema if ema is not None else self.params)
         self.step_idx = int(tree["step"])
         return True
 
