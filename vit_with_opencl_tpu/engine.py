@@ -99,6 +99,7 @@ class InferenceEngine:
         quantize: Optional[str] = None,
         normalize_uint8: bool = False,
         tuning_path: Optional[str] = None,
+        calibrate: Optional[np.ndarray] = None,
     ):
         self.config = config
         self.batch_size = int(batch_size)
@@ -116,7 +117,21 @@ class InferenceEngine:
             # path (measured 1.79x bf16, scripts/probe_int8.py).
             from .models import quant
 
-            params = quant.quantize_stacked_params(params, config)
+            if calibrate is not None and quantize == "int8-w8a8":
+                # Outlier-aware W8A8: calibrate per-channel activation
+                # absmax on the given images, permute the hot channels into
+                # tile-aligned groups and keep them bf16 (exact) while the
+                # rest runs dynamic int8. Trained-net outlier channels
+                # otherwise pollute every per-token scale
+                # (tests/test_quant_outlier.py records the damage).
+                params = quant.calibrate_w8a8(
+                    np.asarray(calibrate, np.float32), params, config)
+            else:
+                params = quant.quantize_stacked_params(params, config)
+        elif calibrate is not None:
+            raise ValueError(
+                "calibrate= images are only meaningful with "
+                "quantize='int8-w8a8' (outlier-aware activation quantization)")
         elif quantize is not None:
             raise ValueError(f"unknown quantize mode {quantize!r}")
         self.params = jax.device_put(params, self.device)
@@ -131,7 +146,8 @@ class InferenceEngine:
             quant=quantize,
         )
         kernels = vit.resolve_kernels(attention_impl, tuning=self.tuning,
-                                      w8a8=quantize == "int8-w8a8")
+                                      w8a8=quantize == "int8-w8a8",
+                                      heads=(config.num_heads, config.head_dim))
 
         self.normalize_uint8 = normalize_uint8
         if normalize_uint8:
@@ -276,7 +292,8 @@ class DataParallelEngine:
                                  compute_dtype, path=tuning_path,
                                  quant=quantize)
         kernels = vit.resolve_kernels(attention_impl, tuning=tuning,
-                                      w8a8=quantize == "int8-w8a8")
+                                      w8a8=quantize == "int8-w8a8",
+                                      heads=(config.num_heads, config.head_dim))
         self._data_sharding = NamedSharding(self.mesh, P(("data", "model")))
 
         self.normalize_uint8 = normalize_uint8

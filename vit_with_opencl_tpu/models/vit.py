@@ -465,7 +465,8 @@ def _default_kernels() -> Dict[str, Any]:
 
 def resolve_kernels(attention_impl: str = "xla",
                     tuning: Optional[Dict[str, Any]] = None,
-                    w8a8: bool = False) -> Dict[str, Any]:
+                    w8a8: bool = False,
+                    heads: Optional[tuple] = None) -> Dict[str, Any]:
     """Kernel table for the forward pass.
 
     ``attention_impl``:
@@ -520,9 +521,9 @@ def resolve_kernels(attention_impl: str = "xla",
         # they anchor the accuracy budget.
         from . import quant
 
-        kernels["matmul"] = quant.matmul_w8a8
-        kernels["matmul_gelu"] = (
-            lambda x, w, b, cfg: _gelu(quant.matmul_w8a8(x, w, b), cfg))
+        mm = _ft.partial(quant.matmul_w8a8, heads=heads)
+        kernels["matmul"] = mm
+        kernels["matmul_gelu"] = lambda x, w, b, cfg: _gelu(mm(x, w, b), cfg)
         kernels["w8a8"] = True
     return kernels
 
@@ -575,8 +576,10 @@ def encoder(x: jax.Array, params: Params, config: ViTConfig,
     from . import quant
 
     quantized = quant.is_quantized(params["layers"]["qkv_w"])
+    outlier = quantized and "hi" in params["layers"]["qkv_w"]
     use_block = "encoder_block" in kernels and not quantized
-    if kernels.get("_fused_block_if_supported") and not use_block:
+    if (kernels.get("_fused_block_if_supported") and not use_block
+            and not outlier):
         from ..ops import fused_block
 
         wdtype_bytes = (1 if quantized
