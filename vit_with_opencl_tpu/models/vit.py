@@ -576,10 +576,8 @@ def encoder(x: jax.Array, params: Params, config: ViTConfig,
     from . import quant
 
     quantized = quant.is_quantized(params["layers"]["qkv_w"])
-    outlier = quantized and "hi" in params["layers"]["qkv_w"]
     use_block = "encoder_block" in kernels and not quantized
-    if (kernels.get("_fused_block_if_supported") and not use_block
-            and not outlier):
+    if kernels.get("_fused_block_if_supported") and not use_block:
         from ..ops import fused_block
 
         wdtype_bytes = (1 if quantized

@@ -89,7 +89,7 @@ def _quantize_rows(hf):
     return quant.quantize_act(hf)
 
 
-def _mm(h, w_ref, l, s_ref, w8a8=False):
+def _mm(h, w_ref, l, s_ref, w8a8=False, hi_ref=None, cdt=None):
     """Matmul against layer ``l`` of a resident weight ref; int8 weights are
     cast into the MXU dtype and the per-output-channel fp32 scale (if any)
     is applied to the accumulator (models/quant.matmul_q semantics).
@@ -98,8 +98,22 @@ def _mm(h, w_ref, l, s_ref, w8a8=False):
     int8×int8→int32 — the MXU's double-rate int path (models/quant.
     matmul_w8a8 semantics; measured 1.79× bf16, scripts/probe_int8.py).
     The token scale joins the weight's channel scale in the fp32 epilogue.
+
+    ``hi_ref``: outlier-aware split (models/quant.matmul_w8a8 semantics):
+    the int8 ref covers the leading input rows; the trailing
+    ``h.shape[1] - q_rows`` calibrated-outlier channels run a second small
+    bf16 GEMM against ``hi_ref`` — exact for exactly the channels absmax
+    quantization cannot represent.
     """
     if w8a8:
+        if hi_ref is not None and w_ref.shape[1] < h.shape[1]:
+            m = w_ref.shape[1]
+            hq, sx = _quantize_rows(h[:, :m].astype(jnp.float32))
+            acc = jax.lax.dot_general(hq, w_ref[l], (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.int32)
+            hi = jnp.dot(h[:, m:].astype(cdt), hi_ref[l].astype(cdt),
+                         preferred_element_type=jnp.float32)
+            return acc.astype(jnp.float32) * sx * s_ref[l] + hi
         hq, sx = _quantize_rows(h.astype(jnp.float32))
         acc = jax.lax.dot_general(hq, w_ref[l], (((1,), (0,)), ((), ())),
                                   preferred_element_type=jnp.int32)
@@ -109,6 +123,33 @@ def _mm(h, w_ref, l, s_ref, w8a8=False):
     if s_ref is not None:
         acc = acc * s_ref[l]  # [1, out] fp32 epilogue
     return acc
+
+
+def _mm_ctx_masked(ctx_parts, outw_ref, ohi_ref, l, s_ref, kh, cdt):
+    """Out-proj W8A8 with per-head-tail outliers (masked-int8 + bf16 tails).
+
+    ``ctx_parts``: the per-head attention outputs [T, hd] BEFORE concat —
+    the structural form makes both the tail slice and the tail-excluding
+    absmax plain slices (no mask multiply; models/quant.matmul_w8a8's
+    masked branch is the XLA twin of this math). The int8 ref's tail rows
+    are zero, so the clipped tail lanes in the quantized block never reach
+    the output.
+    """
+    hd = ctx_parts[0].shape[-1]
+    ctx = jnp.concatenate(ctx_parts, axis=-1).astype(jnp.float32)
+    lo = jnp.concatenate([o[:, :hd - kh] for o in ctx_parts], axis=-1)
+    absmax = jnp.maximum(
+        jnp.max(jnp.abs(lo.astype(jnp.float32)), axis=-1, keepdims=True),
+        jnp.float32(2.0 ** -93))
+    r = jnp.float32(127.0) / absmax
+    q = jnp.clip(jnp.round(ctx * r), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(q, outw_ref[l], (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    hi_in = jnp.concatenate([o[:, hd - kh:] for o in ctx_parts], axis=-1)
+    hi = jnp.dot(hi_in.astype(cdt), ohi_ref[l].astype(cdt),
+                 preferred_element_type=jnp.float32)
+    return (acc.astype(jnp.float32) * (absmax * jnp.float32(1 / 127))
+            * s_ref[l] + hi)
 
 
 def _ln(xf, w, b, eps):
@@ -127,15 +168,11 @@ def _vmem_limit(L: int, d: int, hdim: int, wdtype_bytes: int) -> int:
 
 def _weight_specs_operands(g, L: int, d: int, hdim: int, x, quantized: bool):
     """The 12 weight/bias specs+operands shared by every fused kernel,
-    plus the four per-channel scale refs when ``g`` holds int8 dicts."""
-    specs = [
-        _whole((L, d)), _whole((L, d)),             # ln1 w/b
-        _whole((L, d, 3 * d)), _whole((L, 3 * d)),  # qkv w/b
-        _whole((L, d, d)), _whole((L, d)),          # out w/b
-        _whole((L, d)), _whole((L, d)),             # ln2 w/b
-        _whole((L, d, hdim)), _whole((L, hdim)),    # fc1 w/b
-        _whole((L, hdim, d)), _whole((L, d)),       # fc2 w/b
-    ]
+    plus the four per-channel scale refs when ``g`` holds int8 dicts and
+    the four bf16 outlier-group ("hi") refs for outlier-aware dicts
+    (models/quant.quantize_stacked_params_outlier layout — the int8 blocks
+    may then cover fewer input rows than the activation, so every spec is
+    derived from the actual operand shape)."""
 
     def wmat(key):
         return g[key]["q"] if quantized else g[key].astype(x.dtype)
@@ -149,10 +186,12 @@ def _weight_specs_operands(g, L: int, d: int, hdim: int, x, quantized: bool):
         wmat("fc2_w"), g["fc2_b"],
     ]
     if quantized:
-        specs += [_whole((L, 1, 3 * d)), _whole((L, 1, d)),
-                  _whole((L, 1, hdim)), _whole((L, 1, d))]
         operands += [g["qkv_w"]["scale"], g["out_w"]["scale"],
                      g["fc1_w"]["scale"], g["fc2_w"]["scale"]]
+        if "hi" in g["qkv_w"]:
+            operands += [g["qkv_w"]["hi"], g["out_w"]["hi"],
+                         g["fc1_w"]["hi"], g["fc2_w"]["hi"]]
+    specs = [_whole(np.shape(op)) for op in operands]
     return specs, operands
 
 
@@ -161,6 +200,7 @@ def _block_kernel(
     ln2w_ref, ln2b_ref, fc1w_ref, fc1b_ref, fc2w_ref, fc2b_ref, *rest,
     num_heads: int, head_dim: int, eps: float, images_per_cell: int,
     depth: int = 1, quantized: bool = False, w8a8: bool = False,
+    outlier: bool = False,
 ):
     """``depth`` consecutive layers per launch, per-image [T, D] GEMMs.
 
@@ -173,13 +213,22 @@ def _block_kernel(
     per-output-channel fp32 scale refs [depth, 1, out] (qkv/out/fc1/fc2);
     each matmul casts int8→bf16 on the way into the MXU and applies the
     scale to the fp32 accumulator (models/quant.matmul_q semantics).
+
+    ``outlier``: four bf16 outlier-group refs follow the scales
+    (models/quant layout): trailing-input-row groups for qkv/fc1/fc2 and
+    the per-head context tails for out-proj run exact bf16 side-GEMMs.
     """
-    if quantized:
+    if quantized and outlier:
+        qs, os_, f1s, f2s, qhi, ohi, f1hi, f2hi, o_ref = rest
+    elif quantized:
         qs, os_, f1s, f2s, o_ref = rest
+        qhi = ohi = f1hi = f2hi = None
     else:
         (o_ref,) = rest
-        qs = os_ = f1s = f2s = None
+        qs = os_ = f1s = f2s = qhi = ohi = f1hi = f2hi = None
     scale = float(1.0 / np.sqrt(head_dim))
+    cdt = x_ref.dtype
+    kh = ohi.shape[1] // num_heads if outlier else 0
 
     for img in range(images_per_cell):
         x = x_ref[img].astype(jnp.float32)  # [T, D]
@@ -187,7 +236,7 @@ def _block_kernel(
             h = _ln(x, ln1w_ref[l], ln1b_ref[l], eps)
             if not w8a8:  # w8a8 quantizes from the fp32 LN output directly
                 h = h.astype(x_ref.dtype)
-            qkv = _mm(h, qkvw_ref, l, qs, w8a8)
+            qkv = _mm(h, qkvw_ref, l, qs, w8a8, qhi, cdt)
             qkv = (qkv + qkvb_ref[l].astype(jnp.float32)).astype(x_ref.dtype)
             ctx_parts = []
             for hh in range(num_heads):
@@ -198,17 +247,21 @@ def _block_kernel(
                     qkv[:, vo:vo + head_dim], scale,
                 )
                 ctx_parts.append(o.astype(x_ref.dtype))
-            ctx = jnp.concatenate(ctx_parts, axis=-1)  # [T, D]
-            attn = _mm(ctx, outw_ref, l, os_, w8a8)
+            if w8a8 and outlier:
+                attn = _mm_ctx_masked(ctx_parts, outw_ref, ohi, l, os_, kh,
+                                      cdt)
+            else:
+                ctx = jnp.concatenate(ctx_parts, axis=-1)  # [T, D]
+                attn = _mm(ctx, outw_ref, l, os_, w8a8)
             x = x + attn + outb_ref[l].astype(jnp.float32)  # residual 1
             h = _ln(x, ln2w_ref[l], ln2b_ref[l], eps)
             if not w8a8:
                 h = h.astype(x_ref.dtype)
-            hid = _mm(h, fc1w_ref, l, f1s, w8a8)
+            hid = _mm(h, fc1w_ref, l, f1s, w8a8, f1hi, cdt)
             hid = hid + fc1b_ref[l].astype(jnp.float32)
             hid = _gelu_fast(hid)
             mlp = _mm(hid if w8a8 else hid.astype(x_ref.dtype),
-                      fc2w_ref, l, f2s, w8a8)
+                      fc2w_ref, l, f2s, w8a8, f2hi, cdt)
             x = x + mlp + fc2b_ref[l].astype(jnp.float32)  # residual 2
         o_ref[img] = x.astype(o_ref.dtype)
 
@@ -244,11 +297,17 @@ def _group_call(x: jax.Array, g, config: ViTConfig, depth: int,
     b, t, d = x.shape
     hdim = config.hidden_dim
     quantized = quant.is_quantized(g["qkv_w"])
+    outlier = quantized and "hi" in g["qkv_w"]
+    if outlier and not w8a8:
+        raise ValueError(
+            "outlier-aware quantized params (bf16 'hi' groups) require the "
+            "w8a8 path; weight-only int8 has no activation scales to protect")
 
     kernel = functools.partial(
         _block_kernel, num_heads=config.num_heads, head_dim=config.head_dim,
         eps=config.eps, images_per_cell=images_per_cell, depth=depth,
         quantized=quantized, w8a8=w8a8 and quantized,
+        outlier=outlier and w8a8,
     )
 
     vmem_limit = _vmem_limit(depth, d, hdim,
@@ -494,6 +553,10 @@ def fused_encoder_stack(
     from ..models import quant
 
     quantized = quant.is_quantized(layers["qkv_w"])
+    if quantized and "hi" in layers["qkv_w"]:
+        raise ValueError(
+            "the whole-stack kernel has no outlier-aware W8A8 path (stack-"
+            "class models route W8A8 per-layer; see models/vit.encoder)")
 
     kernel = functools.partial(
         _stack_kernel, depth=L, num_heads=nh, head_dim=hd, eps=config.eps,
