@@ -11,6 +11,12 @@ training paths on the real chip:
            (rematerializing fused backward; x is the only residual/layer)
 
 Usage: python scripts/bench_train.py [config] [batch] [iters]
+
+AUG=1 adds the --augment probe: measures the HOST-side cost of the full
+DeiT-style input pipeline (augment.augmented_dataset: RRC + flip +
+RandAugment + normalize + mixup) and reports whether prefetcher_depth x
+augment_throughput covers each measured step rate (the chip must never
+starve; VERDICT r3 #3's measurement gate).
 """
 from __future__ import annotations
 
@@ -95,6 +101,48 @@ def main():
     for impl in ("flash", "fused"):
         if base and impl in results:
             print(f"{impl} vs xla: {(base / results[impl] - 1) * 100:+.1f}%")
+
+    if os.environ.get("AUG", "0") == "1":
+        _augment_probe(cfg, batch, results)
+
+
+def _augment_probe(cfg, batch, step_results):
+    """Host augmentation throughput vs chip step rate (single producer
+    thread, the DevicePrefetcher topology). Reports img/s of the full
+    augment pipeline and the starve margin per measured impl."""
+    from vit_with_opencl_tpu import augment
+
+    rng = np.random.default_rng(0)
+    # Source images at the torchvision 256/224-scaled resolution (what an
+    # ImageNet loader would hand the transform stage).
+    src = round(cfg.img_size * 256 / 224)
+    n_src = max(batch, 64)
+    images = rng.integers(0, 256, (n_src, src, src, 3), dtype=np.uint8)
+    labels = rng.integers(0, cfg.num_classes, n_src)
+    # Warm one batch (first-touch page faults), then time whole batches.
+    rates = {}
+    for mix in ("host", "device"):
+        it = augment.augmented_dataset(
+            images, labels, batch, cfg.num_classes, img_size=cfg.img_size,
+            epochs=None, seed=0, mix=mix)
+        next(it)
+        n_batches = 4
+        t0 = time.perf_counter()
+        for _ in range(n_batches):
+            next(it)
+        dt = time.perf_counter() - t0
+        rates[mix] = n_batches * batch / dt
+        print(f"augment(mix={mix:6s}): {dt / n_batches * 1e3:8.2f} ms/batch "
+              f"({rates[mix]:7.0f} img/s host, 1 producer thread)")
+    aug_rate = rates["device"]  # the recommended config: mix on chip
+    for impl, ms in step_results.items():
+        step_rate = batch / ms * 1e3
+        margin = aug_rate / step_rate
+        verdict = "feeds chip" if margin >= 1.0 else (
+            f"STARVES chip — needs workers="
+            f"{int(np.ceil(step_rate / aug_rate))} producer threads "
+            f"(augmented_dataset(workers=N)) or offline augmentation")
+        print(f"  vs {impl:6s}: aug/step rate {margin:5.2f}x  ({verdict})")
 
 
 if __name__ == "__main__":

@@ -635,10 +635,19 @@ def make_train_step(config: ViTConfig, mesh: Mesh, *, lr: float = 1e-3,
             return_logits=True, kernels=kernels,
         )
         logp = jax.nn.log_softmax(logits, axis=-1)
-        nll = -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=-1))
+        if labels.ndim == 2:
+            # Soft labels [B, C] (Mixup/CutMix from augment.mixup_cutmix):
+            # CE against the given distribution. The branch is on a static
+            # rank, so int- and soft-label callers just get two jit caches.
+            nll = -jnp.mean(jnp.sum(labels.astype(logp.dtype) * logp, -1))
+        else:
+            nll = -jnp.mean(
+                jnp.take_along_axis(logp, labels[:, None], axis=-1))
         if label_smoothing:
             # Uniform smoothing: (1-eps)*CE(y) + eps*CE(uniform) — the
-            # standard ViT/DeiT training recipe's regularizer.
+            # standard ViT/DeiT training recipe's regularizer (composes
+            # with soft labels exactly as timm's SoftTargetCrossEntropy
+            # does when mixup already folded smoothing: keep one of them).
             uniform = -jnp.mean(logp)
             nll = (1.0 - label_smoothing) * nll + label_smoothing * uniform
         return nll
@@ -656,7 +665,7 @@ def make_train_step(config: ViTConfig, mesh: Mesh, *, lr: float = 1e-3,
             )
         mb = b // grad_accum
         mb_images = images.reshape((grad_accum, mb) + images.shape[1:])
-        mb_labels = labels.reshape((grad_accum, mb))
+        mb_labels = labels.reshape((grad_accum, mb) + labels.shape[1:])
 
         def body(carry, xs):
             loss_acc, grads_acc = carry

@@ -81,6 +81,7 @@ class Trainer:
         grad_accum: int = 1,
         grad_clip_norm: Optional[float] = None,
         label_smoothing: float = 0.0,
+        mixup: Optional[dict] = None,
         ema_decay: Optional[float] = None,
         seed: int = 0,
         checkpoint_dir: Optional[str] = None,
@@ -131,6 +132,40 @@ class Trainer:
             self._init_opt, self._step = None, made
         else:
             self._init_opt, self._step = made
+
+        # Device-side Mixup/CutMix (augment.device_mixup_cutmix): the mix
+        # fuses into the step's jit instead of costing a host batch pass on
+        # the producer thread (~2 ms/img measured). ``mixup`` is its kwargs
+        # (mixup_alpha/cutmix_alpha/prob/switch_prob, optional seed); pair
+        # with a dataset yielding INT labels (augmented_dataset(mix=
+        # "device") or data.memory_dataset).
+        self._mix_step = None
+        if mixup is not None:
+            from . import augment as augment_mod
+
+            mix_kw = dict(mixup)
+            base_key = jax.random.key(mix_kw.pop("seed", seed + 101))
+            nc = config.num_classes
+            inner = self._step
+
+            if self._init_opt is None:
+
+                @jax.jit
+                def _mix_step(params, images, labels, step_i):
+                    k = jax.random.fold_in(base_key, step_i)
+                    mixed, soft = augment_mod.device_mixup_cutmix(
+                        k, images, labels, nc, **mix_kw)
+                    return inner(params, mixed, soft)
+            else:
+
+                @jax.jit
+                def _mix_step(params, opt_state, images, labels, step_i):
+                    k = jax.random.fold_in(base_key, step_i)
+                    mixed, soft = augment_mod.device_mixup_cutmix(
+                        k, images, labels, nc, **mix_kw)
+                    return inner(params, opt_state, mixed, soft)
+
+            self._mix_step = _mix_step
 
         self.params = spmd.shard_params_gspmd(
             vit.init_params(config, seed=seed), self.mesh, config
@@ -291,12 +326,25 @@ class Trainer:
             for images, labels in loader:
                 if steps is not None and self.step_idx >= steps:
                     break
+                use_mix = (
+                    self._mix_step is not None
+                    and labels is not None and labels.ndim == 1
+                )
                 if self.opt_state is None:
-                    self.params, loss = self._step(
-                        self.params, images, labels)
+                    if use_mix:
+                        self.params, loss = self._mix_step(
+                            self.params, images, labels, self.step_idx)
+                    else:
+                        self.params, loss = self._step(
+                            self.params, images, labels)
                 else:
-                    self.params, self.opt_state, loss = self._step(
-                        self.params, self.opt_state, images, labels)
+                    if use_mix:
+                        self.params, self.opt_state, loss = self._mix_step(
+                            self.params, self.opt_state, images, labels,
+                            self.step_idx)
+                    else:
+                        self.params, self.opt_state, loss = self._step(
+                            self.params, self.opt_state, images, labels)
                 self.step_idx += 1
                 if self.ema_params is not None:
                     self.ema_params = self._ema_update(
