@@ -488,3 +488,101 @@ def test_lookup_fallback_is_tagged(tmp_path):
     autotune.save_tuning(path, qkey, {"attention_ipc": 4})
     got = autotune.lookup(CFG, 4, jnp.float32, path=path, quant="int8-w8a8")
     assert got["attention_ipc"] == 4 and "fallback_from" not in got
+
+
+# -- the probe methodology itself (VERDICT r3 #7) ----------------------------
+# Every "X% of skeleton" bound in BENCH.md routes through
+# profiler.kernel_substitutions; these tests pin that each substitution is
+# output-spec-preserving and leaves the forward's GEMM sequence intact, so
+# a silently-wrong skeleton can't corrupt the attribution numbers.
+
+
+def _count_dots(jaxpr) -> int:
+    """dot_general count, recursing into scan/cond/pjit/pallas sub-jaxprs."""
+    n = 0
+    for eqn in jaxpr.eqns:
+        if eqn.primitive.name == "dot_general":
+            n += 1
+        for v in eqn.params.values():
+            for sub in (v if isinstance(v, (list, tuple)) else [v]):
+                if hasattr(sub, "eqns"):
+                    n += _count_dots(sub)
+                elif hasattr(sub, "jaxpr") and hasattr(sub.jaxpr, "eqns"):
+                    n += _count_dots(sub.jaxpr)
+    return n
+
+
+def test_kernel_substitutions_preserve_spec_and_gemm_count():
+    from vit_with_opencl_tpu.perf import profiler
+
+    params = vit.cheap_stacked_params(CFG)
+    images = jnp.asarray(fixtures.random_images(CFG, n=2, seed=0),
+                         jnp.bfloat16)
+    kernels = vit.resolve_kernels("flash")
+
+    def fwd(im, p):
+        return vit.forward(im, p, CFG, compute_dtype=jnp.bfloat16,
+                           kernels=kernels)
+
+    base_spec = jax.eval_shape(fwd, images, params)
+    base_dots = _count_dots(jax.make_jaxpr(fwd)(images, params).jaxpr)
+    assert base_dots > 0
+    for combo in [(True, False, False), (False, True, False),
+                  (True, True, False)]:
+        with profiler.kernel_substitutions(*combo):
+            spec = jax.eval_shape(fwd, images, params)
+            dots = _count_dots(jax.make_jaxpr(fwd)(images, params).jaxpr)
+        assert (spec.shape, spec.dtype) == (base_spec.shape, base_spec.dtype)
+        # The skeleton executes the SAME GEMM sequence — substitutions only
+        # remove VPU work (erf, online softmax), never a matmul.
+        assert dots == base_dots, combo
+    # And the patch is transactional: everything restored after exit.
+    assert _count_dots(jax.make_jaxpr(fwd)(images, params).jaxpr) == base_dots
+
+
+def test_kernel_substitutions_w8a8_quant_cheap():
+    from vit_with_opencl_tpu.models import quant as quantlib
+    from vit_with_opencl_tpu.perf import profiler
+
+    params = vit.cheap_stacked_params(CFG)
+    qparams = jax.jit(
+        lambda p: quantlib.quantize_stacked_params_device(p, CFG))(params)
+    images = jnp.asarray(fixtures.random_images(CFG, n=2, seed=0),
+                         jnp.bfloat16)
+    kernels = vit.resolve_kernels("flash", w8a8=True)
+
+    def fwd(im, p):
+        return vit.forward(im, p, CFG, compute_dtype=jnp.bfloat16,
+                           kernels=kernels)
+
+    base_spec = jax.eval_shape(fwd, images, qparams)
+    base_dots = _count_dots(jax.make_jaxpr(fwd)(images, qparams).jaxpr)
+    for combo in [(False, False, True), (True, True, True)]:
+        with profiler.kernel_substitutions(*combo):
+            spec = jax.eval_shape(fwd, images, qparams)
+            dots = _count_dots(jax.make_jaxpr(fwd)(images, qparams).jaxpr)
+        assert (spec.shape, spec.dtype) == (base_spec.shape, base_spec.dtype)
+        assert dots == base_dots, combo
+    # quantize_act's stand-in keeps its exact output structure (int8
+    # values + per-row fp32 scale), so downstream GEMMs are unchanged.
+    x = jnp.zeros((4, CFG.embed_dim), jnp.float32)
+    real = jax.eval_shape(quantlib.quantize_act, x)
+    with profiler.kernel_substitutions(False, False, True):
+        fake = jax.eval_shape(quantlib.quantize_act, x)
+    assert jax.tree.map(lambda s: (s.shape, str(s.dtype)), real) == \
+        jax.tree.map(lambda s: (s.shape, str(s.dtype)), fake)
+
+
+def test_kernel_substitutions_reentrancy_guard_still_works():
+    """attribute_forward still refuses concurrent use after the refactor."""
+    from vit_with_opencl_tpu.perf import profiler
+
+    params = vit.cheap_stacked_params(CFG)
+    images = jnp.asarray(fixtures.random_images(CFG, n=2, seed=0),
+                         jnp.bfloat16)
+    assert profiler._ATTRIBUTION_LOCK.acquire(blocking=False)
+    try:
+        with pytest.raises(RuntimeError, match="already running"):
+            profiler.attribute_forward(CFG, params, images, iters=1)
+    finally:
+        profiler._ATTRIBUTION_LOCK.release()

@@ -223,9 +223,6 @@ def attribute_forward(
     therefore guards this function and rejects re-entry instead of
     corrupting a bystander's compile.
     """
-    from ..ops import attention as attn_mod
-    from ..ops import fused_block
-
     if not _ATTRIBUTION_LOCK.acquire(blocking=False):
         raise RuntimeError(
             "attribute_forward is already running in this process; its "
@@ -236,48 +233,16 @@ def attribute_forward(
     try:
         kernels = vit.resolve_kernels("flash", w8a8=quant == "int8-w8a8")
 
-        from ..models import quant as quant_mod
-
         def timed(gelu_identity: bool, softmax_identity: bool,
                   quant_cheap: bool = False) -> float:
-            real_gelu = fused_block._gelu_fast
-            real_head = attn_mod._head_attention
-            real_quant = quant_mod.quantize_act
-            if gelu_identity:
-                fused_block._gelu_fast = lambda v: v
-            if quant_cheap:
-                # Bare convert at a constant scale: same int8 GEMM, no
-                # absmax/round VPU passes. WRONG math — timing only.
-                # Patching quant.quantize_act covers BOTH the fused kernel
-                # (_quantize_rows delegates) and the per-op matmul_w8a8.
-                quant_mod.quantize_act = lambda hf: (
-                    hf.astype(jnp.int8),
-                    jnp.full_like(hf[..., :1].astype(jnp.float32), 1.0))
-            if softmax_identity:
-                def fake_head(q, k, v, scale, neg=None):
-                    qs = q * jnp.asarray(scale, q.dtype)
-                    s = jax.lax.dot_general(
-                        qs, k, (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
-                    o = jax.lax.dot(
-                        (s * (1.0 / s.shape[1])).astype(v.dtype), v,
-                        preferred_element_type=jnp.float32,
-                    )
-                    return o, s
-
-                attn_mod._head_attention = fake_head
-            try:
+            with kernel_substitutions(gelu_identity, softmax_identity,
+                                      quant_cheap):
                 fwd = jax.jit(
                     lambda im, p: vit.forward(im, p, config,
                                               compute_dtype=compute_dtype,
                                               kernels=kernels)
                 )
                 return _time_op(fwd, (images, params), iters) / iters
-            finally:
-                fused_block._gelu_fast = real_gelu
-                attn_mod._head_attention = real_head
-                quant_mod.quantize_act = real_quant
 
         total = timed(False, False)
         no_gelu = timed(True, False)
@@ -306,6 +271,58 @@ def attribute_forward(
 
 # Guards attribute_forward's process-global kernel substitutions.
 _ATTRIBUTION_LOCK = threading.Lock()
+
+
+@contextlib.contextmanager
+def kernel_substitutions(gelu_identity: bool, softmax_identity: bool,
+                         quant_cheap: bool = False):
+    """The probe's kernel substitutions, as a reusable (and testable)
+    context: while active, any program TRACED computes wrong math but the
+    identical GEMM sequence. Every bound claim in BENCH.md routes through
+    these three swaps; tests/test_perf.py pins that each one preserves
+    output shapes/dtypes and the forward's dot_general count.
+
+    - ``gelu_identity``  — fused_block._gelu_fast → identity (removes the
+      erf/tanh VPU work, keeps both MLP GEMMs).
+    - ``softmax_identity`` — attention._head_attention → QK^T and SV GEMMs
+      with a constant row scale instead of the online softmax.
+    - ``quant_cheap``    — quant.quantize_act → bare int8 convert at a
+      constant scale (same int8 GEMMs, no absmax/round VPU passes); covers
+      BOTH the fused kernel's _quantize_rows and the per-op matmul_w8a8.
+    """
+    from ..models import quant as quant_mod
+    from ..ops import attention as attn_mod
+    from ..ops import fused_block
+
+    real_gelu = fused_block._gelu_fast
+    real_head = attn_mod._head_attention
+    real_quant = quant_mod.quantize_act
+    if gelu_identity:
+        fused_block._gelu_fast = lambda v: v
+    if quant_cheap:
+        quant_mod.quantize_act = lambda hf: (
+            hf.astype(jnp.int8),
+            jnp.full_like(hf[..., :1].astype(jnp.float32), 1.0))
+    if softmax_identity:
+        def fake_head(q, k, v, scale, neg=None):
+            qs = q * jnp.asarray(scale, q.dtype)
+            s = jax.lax.dot_general(
+                qs, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            o = jax.lax.dot(
+                (s * (1.0 / s.shape[1])).astype(v.dtype), v,
+                preferred_element_type=jnp.float32,
+            )
+            return o, s
+
+        attn_mod._head_attention = fake_head
+    try:
+        yield
+    finally:
+        fused_block._gelu_fast = real_gelu
+        attn_mod._head_attention = real_head
+        quant_mod.quantize_act = real_quant
 
 
 @contextlib.contextmanager
