@@ -1,0 +1,112 @@
+"""The real-weight parity drill: checkpoint → export → both backends →
+the reference's own comparator gate, in ONE command.
+
+The reference's verification contract is anchored to
+``Data/answer_result.txt`` produced from real torchvision ``vit_b_16``
+weights (reference ``comparator.c:26-92`` gates results against it at
+0.01). This repo's 36 large weight blobs are stripped
+(``.MISSING_LARGE_BLOBS``), so that final check has been environment-
+blocked since round 1 — this drill makes closing it a minutes-long task
+the moment a checkpoint appears:
+
+    python scripts/real_weight_parity.py \
+        --checkpoint /path/to/vit_b_16-c867db91.pth \
+        [--config vit_b_16_224] \
+        [--input  .../Data/input-1.bin] \
+        [--answer .../Data/answer_result_1.txt] \
+        [--backends golden,tpu] [--quantize none,int8-w8a8]
+
+Flow: torch-load the state dict (torchvision or HF naming auto-detected)
+→ export to the reference ``Weight_*.bin`` format → drive the CLI once per
+(backend, quantize) combination → comparator verdict per run. Exit 0 iff
+every combination passes the 0.01 gate.
+
+Tested end-to-end in tests/test_export.py with a synthetic checkpoint
+standing in for the real one (io/export.to_torchvision_state_dict builds
+it), so the drill itself is known-good before the blobs arrive.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import tempfile
+
+_REF_DATA = "/root/reference/MulticoreMainProject/Data"
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        description="export a real checkpoint and run the reference "
+        "comparator against the shipped answer file")
+    parser.add_argument("--checkpoint", required=True,
+                        help="torch-saved state dict (.pth), torchvision "
+                        "or HF naming")
+    parser.add_argument("--config", default="vit_b_16_224")
+    parser.add_argument("--input",
+                        default=os.path.join(_REF_DATA, "input-1.bin"))
+    parser.add_argument("--answer",
+                        default=os.path.join(_REF_DATA,
+                                             "answer_result_1.txt"))
+    parser.add_argument("--backends", default="golden,tpu",
+                        help="comma list: golden,tpu")
+    parser.add_argument("--quantize", default="none",
+                        help="comma list applied to the tpu backend: "
+                        "none,int8,int8-w8a8,auto")
+    parser.add_argument("--workdir", default=None,
+                        help="where to put the exported Network dir and "
+                        "result files (default: a temp dir)")
+    args = parser.parse_args(argv)
+
+    from vit_with_opencl_tpu import cli, get_config
+    from vit_with_opencl_tpu.io import export as export_mod
+
+    config = get_config(args.config)
+    workdir = args.workdir or tempfile.mkdtemp(prefix="parity_")
+    os.makedirs(workdir, exist_ok=True)
+    net_dir = os.path.join(workdir, "Network")
+
+    import torch
+
+    state = torch.load(args.checkpoint, map_location="cpu",
+                       weights_only=True)
+    if isinstance(state, dict) and "state_dict" in state:
+        state = state["state_dict"]
+    if any(k.startswith(("vit.", "embeddings.")) or "layernorm_before" in k
+           for k in state):
+        params = export_mod.from_hf_state_dict(state, config)
+    else:
+        params = export_mod.from_torchvision_state_dict(state, config)
+    files = export_mod.export_weights(params, net_dir, config)
+    print(f"exported {len(files)} weight files -> {net_dir}")
+
+    failures = []
+    for backend in args.backends.split(","):
+        quants = args.quantize.split(",") if backend == "tpu" else ["none"]
+        for quant in quants:
+            tag = backend if quant == "none" else f"{backend}+{quant}"
+            out = os.path.join(workdir, f"result_{tag.replace('+', '_')}.txt")
+            cli_args = [
+                "--input", args.input, "--weights", net_dir,
+                "--output", out, "--answer", args.answer,
+                "--backend", backend, "--config", args.config,
+            ]
+            if quant != "none":
+                cli_args += ["--quantize", quant]
+            print(f"--- {tag}: vit-tpu {' '.join(cli_args)}")
+            rc = cli.main(cli_args)
+            verdict = "PASS" if rc == 0 else "FAIL"
+            print(f"--- {tag}: {verdict}")
+            if rc != 0:
+                failures.append(tag)
+
+    if failures:
+        print(f"PARITY FAILED for: {', '.join(failures)}")
+        return 1
+    print("PARITY OK: every backend matches the answer file within the "
+          "reference 0.01 gate")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -153,6 +153,49 @@ def from_hf_state_dict(
     return out
 
 
+def to_torchvision_state_dict(
+    params: Mapping[str, np.ndarray], config: ViTConfig
+) -> Dict[str, np.ndarray]:
+    """{reference name: array} → torchvision VisionTransformer state-dict
+    naming (the inverse of :func:`from_torchvision_state_dict`).
+
+    Used to round-trip trained/exported weights back into the torch
+    ecosystem, and by the real-weight parity drill to build a synthetic
+    ``.pth`` stand-in while the reference's large blobs are stripped
+    (``.MISSING_LARGE_BLOBS``)."""
+    d = config.embed_dim
+    out: Dict[str, np.ndarray] = {
+        "class_token": np.asarray(params["class_token"]).reshape(1, 1, d),
+        "conv_proj.weight": np.asarray(params["conv_proj_weight"]),
+        "conv_proj.bias": np.asarray(params["conv_proj_bias"]),
+        "encoder.pos_embedding": np.asarray(
+            params["encoder_pos_embedding"]
+        ).reshape(1, config.num_tokens, d),
+        "encoder.ln.weight": np.asarray(params["encoder_ln_weight"]),
+        "encoder.ln.bias": np.asarray(params["encoder_ln_bias"]),
+    }
+    if config.head_type != "none":
+        out["heads.head.weight"] = np.asarray(params["heads_head_weight"])
+        out["heads.head.bias"] = np.asarray(params["heads_head_bias"])
+    pairs = (
+        ("ln_1_weight", "ln_1.weight"), ("ln_1_bias", "ln_1.bias"),
+        ("self_attention_in_proj_weight", "self_attention.in_proj_weight"),
+        ("self_attention_in_proj_bias", "self_attention.in_proj_bias"),
+        ("self_attention_out_proj_weight",
+         "self_attention.out_proj.weight"),
+        ("self_attention_out_proj_bias", "self_attention.out_proj.bias"),
+        ("ln_2_weight", "ln_2.weight"), ("ln_2_bias", "ln_2.bias"),
+        ("mlp_0_weight", "mlp.0.weight"), ("mlp_0_bias", "mlp.0.bias"),
+        ("mlp_3_weight", "mlp.3.weight"), ("mlp_3_bias", "mlp.3.bias"),
+    )
+    for i in range(config.depth):
+        src = f"encoder_layers_encoder_layer_{i}_"
+        dst = f"encoder.layers.encoder_layer_{i}."
+        for ref_sfx, tv_sfx in pairs:
+            out[dst + tv_sfx] = np.asarray(params[src + ref_sfx])
+    return out
+
+
 def _validate(params: Dict[str, np.ndarray], config: ViTConfig) -> None:
     shapes = binfmt.weight_shapes(config)
     for name, expected in shapes.items():
