@@ -284,3 +284,90 @@ def test_dp_engine_uint8_dtype_guards():
                                compute_dtype=jnp.float32)
     with pytest.raises(ValueError, match="preprocess first"):
         eng_f.run(floats.astype(np.uint8))
+
+
+def test_concurrent_stress_mixed_sizes_uint8_dp():
+    """Serve-under-concurrency stress (round-3 verdict item 8): many client
+    threads firing mixed-size uint8 payloads at a DP daemon on the 8-device
+    virtual mesh. Asserts no cross-request interleaving corruption (every
+    response matches the golden for exactly the images that request sent, in
+    order), bounded per-request latency, and STATS consistency afterwards."""
+    import time as _time
+
+    import jax
+
+    from vit_with_opencl_tpu.engine import DataParallelEngine
+    from vit_with_opencl_tpu.io.preprocess import IMAGENET_MEAN, IMAGENET_STD
+
+    assert len(jax.devices()) >= 8
+    params = fixtures.random_params(CFG, seed=7, scale=0.05)
+    engine = DataParallelEngine(
+        CFG, params, batch_size=8, param_dtype=jnp.float32,
+        compute_dtype=jnp.float32, normalize_uint8=True,
+    )
+    engine.warmup()
+    srv = serve.InferenceServer(engine, port=0, max_wait_ms=5.0)
+    srv.start_background()
+    try:
+        # Pool of distinct images with precomputed golden answers, so any
+        # cross-request image/result swap flips top-1 and is caught.
+        pool = np.random.default_rng(2).integers(
+            0, 256, (16, 3, CFG.img_size, CFG.img_size), np.uint8
+        )
+        norm = (pool.astype(np.float32) / 255.0
+                - IMAGENET_MEAN.reshape(1, 3, 1, 1)
+                ) / IMAGENET_STD.reshape(1, 3, 1, 1)
+        want = _expected(params, norm.astype(np.float32))
+
+        n_threads, reqs_per_thread = 6, 5
+        sizes = [1, 2, 3, 5, 8]
+        errors: list = []
+        latencies: list = []
+        lock = threading.Lock()
+
+        def client(tid):
+            rng = np.random.default_rng(100 + tid)
+            try:
+                for r in range(reqs_per_thread):
+                    n = sizes[(tid + r) % len(sizes)]
+                    idx = rng.choice(len(pool), size=n, replace=False)
+                    t0 = _time.perf_counter()
+                    got = serve.classify(pool[idx], port=srv.address[1])
+                    dt = _time.perf_counter() - t0
+                    assert len(got) == n, f"got {len(got)} results for {n}"
+                    for j, k in enumerate(idx):
+                        assert got[j][0] == want[k][0], (
+                            f"thread {tid} req {r} img {j}: label "
+                            f"{got[j][0]} != golden {want[k][0]} — "
+                            "cross-request corruption")
+                        assert abs(got[j][1] - want[k][1]) < 1e-4
+                    with lock:
+                        latencies.append(dt)
+            except Exception as e:  # propagate to the main thread
+                with lock:
+                    errors.append((tid, e))
+
+        threads = [threading.Thread(target=client, args=(t,))
+                   for t in range(n_threads)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert not errors, errors[:3]
+        total = n_threads * reqs_per_thread
+        assert len(latencies) == total
+        # Bounded queue latency: generous CPU bound; a stuck batcher or a
+        # deadlocked waiter would blow way past this.
+        assert max(latencies) < 30.0, f"max latency {max(latencies):.1f}s"
+        s = serve.stats(port=srv.address[1])
+        sent = sum(sizes[(tid + r) % len(sizes)]
+                   for tid in range(n_threads)
+                   for r in range(reqs_per_thread))
+        assert s["images_served"] == sent
+        assert s["batch_errors"] == 0
+        assert s["queue_depth"] == 0
+        # Coalescing actually happened: strictly fewer batches than requests
+        # would be needed un-coalesced at these sizes.
+        assert s["batches_run"] < sent
+    finally:
+        srv.shutdown()
