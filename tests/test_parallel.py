@@ -650,3 +650,54 @@ def test_ring_blockwise_32k_bounded_memory():
     p = np.exp(s - s.max(-1, keepdims=True))
     p /= p.sum(-1, keepdims=True)
     np.testing.assert_allclose(out[0, 0, :2], p @ vh, atol=1e-5)
+
+
+def test_vit_g_geometry_adamw_optimizer_state_sharded():
+    """ViT-G training story (round-3 verdict item 4a): an AdamW train step at
+    true ViT-G width (D=1664, hd=104, MLP=8192) on the virtual mesh, with the
+    optimizer moments ACTUALLY sharded over "model" — fp32 mu+nu for the real
+    1.84B model (~15 GB) exceed one chip's HBM, so GSPMD must spread them."""
+    gcfg = ViTConfig(
+        name="vit_g_geom",
+        img_size=28,
+        patch_size=14,
+        embed_dim=1664,
+        depth=2,
+        num_heads=16,
+        mlp_ratio=8192 / 1664,
+        num_classes=16,
+    )
+    assert gcfg.head_dim == 104
+    mesh = spmd.make_mesh(data=2, model=4)
+    params = spmd.shard_params_gspmd(
+        vit.random_stacked_params(gcfg, jax.random.key(0), jnp.float32),
+        mesh, gcfg)
+    init_fn, step = spmd.make_train_step(
+        gcfg, mesh, lr=1e-4, optimizer="adamw", compute_dtype=jnp.float32)
+    opt_state = init_fn(params)
+
+    # optax.adamw = chain(scale_by_adam, add_decayed_weights, scale):
+    # state[0] is ScaleByAdamState(count, mu, nu).
+    adam = opt_state[0]
+    for moment in (adam.mu, adam.nu):
+        for name in ("qkv_w", "fc1_w", "fc2_w", "out_w"):
+            leaf = moment["layers"][name]
+            arrs = jax.tree.leaves(leaf)
+            assert arrs, name
+            for arr in arrs:
+                spec = arr.sharding.spec
+                assert "model" in jax.tree.leaves(tuple(spec)), (
+                    f"adam moment for {name} is replicated "
+                    f"(spec={spec}) — optimizer memory would not scale")
+                # Sharded = each device holds 1/4 of the leaf.
+                assert (arr.addressable_shards[0].data.size
+                        == arr.size // 4), name
+
+    images = jnp.asarray(fixtures.random_images(gcfg, n=8, seed=1))
+    labels = jnp.arange(8) % gcfg.num_classes
+    params2, opt_state2, loss = step(params, opt_state, images, labels)
+    assert np.isfinite(float(loss))
+    # Moments keep their sharding through the step (no silent gather).
+    mu2 = opt_state2[0].mu["layers"]["qkv_w"]
+    for arr in jax.tree.leaves(mu2):
+        assert "model" in jax.tree.leaves(tuple(arr.sharding.spec))

@@ -715,22 +715,33 @@ def make_train_step(config: ViTConfig, mesh: Mesh, *, lr: float = 1e-3,
         tx = optax.chain(clip_tx, tx)
 
     def init_fn(params):
-        # jit so GSPMD propagates each param's sharding into its mu/nu
-        # moments (eager tx.init would land everything on device 0 and
-        # clash with mesh-sharded params at the first step). Leaves with no
-        # input lineage (e.g. the scalar step count) still come back
-        # single-device — replicate those over the mesh explicitly.
-        state = jax.jit(tx.init)(params)
-        mesh_devs = set(mesh.devices.flat)
+        # The optimizer moments must be sharded EXACTLY like their params —
+        # for ViT-G (1.84B) fp32 mu+nu are ~15 GB and exceed one chip's HBM,
+        # and XLA's propagation through a bare jit(tx.init) is free to (and
+        # measured to) replicate them. Match each state leaf to its param by
+        # path suffix (mu["layers"]["qkv_w"] <- params["layers"]["qkv_w"])
+        # and pin it with out_shardings; unmatched leaves (e.g. the scalar
+        # step count) replicate over the mesh.
+        from jax.tree_util import tree_flatten_with_path, tree_map_with_path
+
+        flat_params, _ = tree_flatten_with_path(params)
+        by_path = {}
+        for path, p in flat_params:
+            if isinstance(p, jax.Array):
+                by_path[tuple(str(k) for k in path)] = (p.sharding, p.shape)
         replicated = NamedSharding(mesh, P())
 
-        def fix(x):
-            if (isinstance(x, jax.Array)
-                    and x.sharding.device_set != mesh_devs):
-                return jax.device_put(x, replicated)
-            return x
+        def pick(path, leaf):
+            keys = tuple(str(k) for k in path)
+            for i in range(len(keys)):
+                hit = by_path.get(keys[i:])
+                if hit is not None and hit[1] == leaf.shape:
+                    return hit[0]
+            return replicated
 
-        return jax.tree.map(fix, state)
+        state_shapes = jax.eval_shape(tx.init, params)
+        shardings = tree_map_with_path(pick, state_shapes)
+        return jax.jit(tx.init, out_shardings=shardings)(params)
 
     @jax.jit
     def step(params, opt_state, images, labels):
