@@ -67,11 +67,23 @@ def main():
     unroll = int(os.environ.get("UNROLL", "1"))
     results = {}
     for impl in impls:
-        step = spmd.make_train_step(cfg, mesh, lr=1e-4,
-                                    compute_dtype=jnp.bfloat16,
-                                    attention_impl=impl,
-                                    grad_accum=accum,
-                                    scan_unroll=unroll)
+        if impl.startswith("fused_split"):
+            # Host loop over per-layer-group fused-VJP programs — trains
+            # ViT-L/H through the fused backward on compile-limited targets
+            # where the monolithic program crashes the compile helper
+            # (parallel/split_step). "fused_split4" = 4 layers/program.
+            from vit_with_opencl_tpu.parallel import split_step
+
+            gsz = int(impl[len("fused_split"):] or "1")
+            step = split_step.make_split_train_step(
+                cfg, lr=1e-4, compute_dtype=jnp.bfloat16,
+                layers_per_program=gsz)
+        else:
+            step = spmd.make_train_step(cfg, mesh, lr=1e-4,
+                                        compute_dtype=jnp.bfloat16,
+                                        attention_impl=impl,
+                                        grad_accum=accum,
+                                        scan_unroll=unroll)
         try:
             t0 = time.perf_counter()
             p, loss = step(params, images, labels)

@@ -1,0 +1,205 @@
+"""Program-split training step: the encoder trains as a host loop over
+small per-layer-group jit programs instead of one monolithic step.
+
+Why this exists: compile-limited targets. The tunneled relay's compile
+helper crashes (HTTP 500) on ViT-L/H fused-VJP training programs — 24–32
+unrolled fused fwd+bwd layers exceed what it survives even with the
+scan-unroll dodge — and the same knob is useful on any target where one
+giant program blows a compile-time or program-size budget. Splitting at
+layer-group boundaries keeps every compiled program ViT-B-sized while the
+math stays EXACTLY the monolithic step's:
+
+  stem     images → x0                       (embed + optional pre-LN)
+  grp_fwd  (x, layers, g) → (x_out, xs)      G fused layers; per-layer
+                                             inputs xs saved for backward
+  head     (xL, rest, labels) → loss, dxL, rest-grads
+  grp_bwd  (xs, layers, g, dy, acc) → (dx, acc')   G fused backwards,
+                                             grads scattered into the
+                                             stacked fp32 accumulator
+  stem_bwd (images, rest, dx0) → rest-grads  (embed recompute, cheap)
+  update   SGD over all grads (donated buffers)
+
+Five compiled programs total, each REUSED for every group via a traced
+group index (dynamic_slice on the stacked layer weights) — the host loop
+enqueues 2·depth/G + 3 async dispatches per step; no per-group recompiles,
+no eager per-tensor ops. Activation memory is depth × [B, T, D] (the same
+per-layer residual the monolithic fused path saves inside its scan).
+
+FLOPs match the monolithic fused step exactly: forward once, backward via
+the rematerializing fused kernels (ops/fused_block.fused_encoder_layer_bwd)
+— the group backward consumes the saved per-layer inputs, it never replays
+the group forward.
+
+Reference context: the reference trains nothing (its weights arrive
+pre-trained, SURVEY §2.4); this is beyond-reference capability sized by the
+repo's own ViT-G/H training story (VERDICT r3 items 4-5).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ViTConfig
+from ..models import vit
+
+Params = Dict[str, Any]
+
+
+def _loss_from_logits(logits, labels, label_smoothing: float):
+    """Same semantics as spmd.make_train_step's loss tail (int or soft
+    [B, C] labels, uniform smoothing)."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    if labels.ndim == 2:
+        nll = -jnp.mean(jnp.sum(labels.astype(logp.dtype) * logp, -1))
+    else:
+        nll = -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=-1))
+    if label_smoothing:
+        uniform = -jnp.mean(logp)
+        nll = (1.0 - label_smoothing) * nll + label_smoothing * uniform
+    return nll
+
+
+def _slice_layer(layers, idx):
+    """Layer ``idx`` of the stacked tree (traced index → one program)."""
+    return jax.tree.map(
+        lambda a: jax.lax.dynamic_index_in_dim(a, idx, 0, keepdims=False),
+        layers)
+
+
+def make_split_train_step(
+    config: ViTConfig,
+    *,
+    lr: float = 1e-3,
+    compute_dtype=jnp.bfloat16,
+    layers_per_program: int = 1,
+    label_smoothing: float = 0.0,
+    grad_clip_norm: Optional[float] = None,
+    images_per_cell: Optional[int] = None,
+):
+    """Build the host-loop step. Returns ``step(params, images, labels) →
+    (new_params, loss)`` — same contract as spmd.make_train_step's SGD mode;
+    ``params`` is the stacked fp32 tree (vit.stack_params layout).
+
+    ``layers_per_program`` (G): fused layers chained per compiled program.
+    G=1 → one-layer programs (the smallest possible compile units);
+    G=4 → quarter-depth programs (fewer dispatches, still far under the
+    monolith's size). Must divide ``config.depth``.
+    """
+    from ..ops import fused_block
+
+    depth = config.depth
+    gsz = int(layers_per_program)
+    if gsz < 1 or depth % gsz:
+        raise ValueError(
+            f"layers_per_program={gsz} must divide depth={depth}")
+    n_groups = depth // gsz
+    if not fused_block.supports_trainable(
+            config, dtype_bytes=jnp.dtype(compute_dtype).itemsize):
+        raise ValueError(
+            f"{config.name}: fused trainable layer unsupported at this "
+            "width; use spmd.make_train_step(attention_impl='flash')")
+    ipc = images_per_cell or 1
+    if grad_clip_norm is not None and not grad_clip_norm > 0.0:
+        raise ValueError(f"grad_clip_norm must be > 0, got {grad_clip_norm}")
+
+    def _stem(images, rest):
+        x = vit.embed(images, rest, config, compute_dtype)
+        if config.pre_norm:
+            x = vit.layer_norm(x, rest["pre_ln_w"], rest["pre_ln_b"],
+                               config.eps)
+        return x
+
+    def _head_loss(x_last, rest, labels):
+        feats = vit.layer_norm(x_last, rest["final_ln_w"],
+                               rest["final_ln_b"], config.eps)
+        logits = vit.classifier_logits(feats.astype(jnp.float32), rest,
+                                       config, compute_dtype)
+        return _loss_from_logits(logits, labels, label_smoothing)
+
+    @jax.jit
+    def stem_fwd(images, rest):
+        return _stem(images, rest)
+
+    @jax.jit
+    def grp_fwd(x, layers, g):
+        xs = []
+        for i in range(gsz):
+            xs.append(x)
+            lp = _slice_layer(layers, g * gsz + i)
+            x = fused_block.fused_encoder_layer(
+                x, lp, config, images_per_cell=ipc)
+        return x, jnp.stack(xs)
+
+    @jax.jit
+    def head_fwd_bwd(x_last, rest, labels):
+        (loss, (dx, drest)) = jax.value_and_grad(
+            _head_loss, argnums=(0, 1))(x_last, rest, labels)
+        return loss, dx, drest
+
+    @functools.partial(jax.jit, donate_argnums=(4,))
+    def grp_bwd(xs, layers, g, dy, acc):
+        for i in reversed(range(gsz)):
+            idx = g * gsz + i
+            lp = _slice_layer(layers, idx)
+            dy, dlp = fused_block.fused_encoder_layer_bwd(
+                xs[i], lp, dy, config, images_per_cell=ipc)
+            acc = jax.tree.map(
+                lambda a, d: jax.lax.dynamic_update_index_in_dim(
+                    a, d.astype(a.dtype), idx, 0),
+                acc, dlp)
+        return dy, acc
+
+    @jax.jit
+    def stem_bwd(images, rest, dx0):
+        _, vjp = jax.vjp(lambda r: _stem(images, r), rest)
+        return vjp(dx0.astype(compute_dtype))[0]
+
+    # NOTE: params are NOT donated — callers reuse the tree across calls
+    # (and across step objects), matching make_train_step's contract.
+    @jax.jit
+    def update(params, layer_grads, rest_grads_head, rest_grads_stem):
+        grads = {
+            k: (jax.tree.map(jnp.add, rest_grads_head[k],
+                             rest_grads_stem[k])
+                if k != "layers" else layer_grads)
+            for k in params
+        }
+        if grad_clip_norm is not None:
+            gnorm = jnp.sqrt(sum(
+                jnp.sum(jnp.square(g.astype(jnp.float32)))
+                for g in jax.tree.leaves(grads)))
+            scale = jnp.minimum(1.0, grad_clip_norm / (gnorm + 1e-12))
+            grads = jax.tree.map(lambda g: g * scale.astype(g.dtype), grads)
+        return jax.tree.map(
+            lambda p, g: (p - lr * g.astype(jnp.float32)).astype(p.dtype)
+            if jnp.issubdtype(p.dtype, jnp.floating) else p,
+            params, grads)
+
+    def step(params, images, labels):
+        rest = {k: v for k, v in params.items() if k != "layers"}
+        layers = params["layers"]
+        x = stem_fwd(images, rest)
+        saved = []
+        for g in range(n_groups):
+            x, xs = grp_fwd(x, layers, g)
+            saved.append(xs)
+        loss, dy, drest_head = head_fwd_bwd(x, rest, labels)
+        acc = jax.tree.map(
+            lambda a: jnp.zeros(jnp.shape(a),
+                                a.dtype if jnp.issubdtype(
+                                    a.dtype, jnp.floating) else jnp.float32),
+            layers)
+        for g in reversed(range(n_groups)):
+            dy, acc = grp_bwd(saved[g], layers, g, dy, acc)
+            saved[g] = None  # free the group's activations promptly
+        drest_stem = stem_bwd(images, rest, dy)
+        new_params = update(params, acc, drest_head, drest_stem)
+        return new_params, loss
+
+    step.n_programs = 5
+    step.n_groups = n_groups
+    return step
