@@ -50,7 +50,22 @@ EPS = 1e-6
 
 
 def _fence(x):
-    np.asarray(np.ravel(np.asarray(x))[:1])
+    # Slice ON DEVICE first: np.asarray(full array) would ship the whole
+    # buffer over the ~40 MB/s tunnel (a 6 MB output reads as a 150 ms
+    # "kernel time") — the round-4 probe-inversion root cause.
+    np.asarray(x.ravel()[:1])
+
+
+def _fetch_floor(x, reps=5):
+    """Dispatch+fetch round trip for a 1-element slice of a ready array —
+    the fixed cost every timed fence pays on this tunnel (~25 ms)."""
+    _fence(x)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _fence(x)
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
 def _quantize_rows(hf):
@@ -139,7 +154,12 @@ def _resident(i):
     return (0, 0)
 
 
-def _call(kernel, in_specs, out_specs, out_shape, operands, reps=5):
+def _call(kernel, in_specs, out_specs, out_shape, operands, reps=3,
+          chain=50):
+    """Best-of-``reps`` per-call seconds, each rep enqueueing ``chain``
+    back-to-back async dispatches and fencing ONCE — the measured fetch
+    floor (~25 ms on this tunnel) is subtracted, so ~5 ms kernels are
+    resolved to a few percent instead of being swallowed by the floor."""
     f = pl.pallas_call(
         kernel,
         grid=(GRID,),
@@ -152,14 +172,18 @@ def _call(kernel, in_specs, out_specs, out_shape, operands, reps=5):
         ),
     )
     run = jax.jit(lambda *a: f(*a))
-    _fence(jax.tree.leaves(run(*operands))[0])  # compile + warm
+    out = run(*operands)  # compile + warm
+    leaf = jax.tree.leaves(out)[0]
+    _fence(leaf)
+    floor = _fetch_floor(leaf)
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = run(*operands)
+        for _ in range(chain):
+            out = run(*operands)
         _fence(jax.tree.leaves(out)[0])
-        best = min(best, time.perf_counter() - t0)
-    return best
+        best = min(best, time.perf_counter() - t0 - floor)
+    return best / chain
 
 
 def _x_f32(rows, salt):

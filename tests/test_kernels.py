@@ -382,6 +382,40 @@ def test_fused_block_matches_golden_forward():
     np.testing.assert_allclose(np.asarray(probs), ref, atol=1e-5)
 
 
+def test_fused_block_stage_major_parity():
+    """Stage-major scheduling (round 4: adjacent independent VPU/MXU work
+    across the cell's image streams) reorders program statements only — the
+    per-stream math is untouched, so outputs must match the image-major
+    order exactly, for bf16, W8A8, and outlier-aware W8A8 params."""
+    from vit_with_opencl_tpu.harness import fixtures
+    from vit_with_opencl_tpu.models import quant
+    from vit_with_opencl_tpu.models import vit as vitmod
+    from vit_with_opencl_tpu.ops import fused_block
+
+    cfg = ViTConfig(name="sm", img_size=32, patch_size=8, embed_dim=64,
+                    depth=2, num_heads=4, num_classes=9)
+    params = fixtures.random_params(cfg, seed=13, scale=0.05)
+    images = fixtures.random_images(cfg, n=2, seed=13)
+    stacked = vitmod.stack_params(params, cfg, param_dtype=jnp.float32)
+    x = jnp.asarray(np.random.default_rng(13).normal(
+        0, 0.4, (4, cfg.num_tokens, cfg.embed_dim)).astype(np.float32))
+
+    variants = {
+        "bf16": (stacked, False),
+        "w8a8": (quant.quantize_stacked_params(stacked, cfg), True),
+        "w8a8-outlier": (jax.tree.map(
+            jnp.asarray, quant.calibrate_w8a8(images, stacked, cfg)), True),
+    }
+    for name, (p, w8a8) in variants.items():
+        lp = jax.tree.map(lambda a: a[0], p["layers"])
+        base = fused_block.fused_encoder_layer(
+            x, lp, cfg, images_per_cell=2, w8a8=w8a8, stage_major=False)
+        staged = fused_block.fused_encoder_layer(
+            x, lp, cfg, images_per_cell=2, w8a8=w8a8, stage_major=True)
+        np.testing.assert_array_equal(
+            np.asarray(base), np.asarray(staged), err_msg=name)
+
+
 def test_fused_block_w8a8_head_dim_104():
     """ViT-G/14's head_dim is 104 (1664/16) — neither 64 nor a power of
     two. The W8A8 fused layer must stay within the comparator gate at that

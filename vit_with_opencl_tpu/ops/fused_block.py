@@ -200,7 +200,7 @@ def _block_kernel(
     ln2w_ref, ln2b_ref, fc1w_ref, fc1b_ref, fc2w_ref, fc2b_ref, *rest,
     num_heads: int, head_dim: int, eps: float, images_per_cell: int,
     depth: int = 1, quantized: bool = False, w8a8: bool = False,
-    outlier: bool = False,
+    outlier: bool = False, stage_major: bool = False,
 ):
     """``depth`` consecutive layers per launch, per-image [T, D] GEMMs.
 
@@ -230,40 +230,60 @@ def _block_kernel(
     cdt = x_ref.dtype
     kh = ohi.shape[1] // num_heads if outlier else 0
 
-    for img in range(images_per_cell):
-        x = x_ref[img].astype(jnp.float32)  # [T, D]
+    def _attn_one(qkv, l):
+        ctx_parts = []
+        for hh in range(num_heads):
+            qo, ko, vo = attention._packed_offsets("slab", hh, num_heads,
+                                                   head_dim)
+            o, _ = attention._head_attention(
+                qkv[:, qo:qo + head_dim], qkv[:, ko:ko + head_dim],
+                qkv[:, vo:vo + head_dim], scale,
+            )
+            ctx_parts.append(o.astype(cdt))
+        if w8a8 and outlier:
+            return _mm_ctx_masked(ctx_parts, outw_ref, ohi, l, os_, kh, cdt)
+        ctx = jnp.concatenate(ctx_parts, axis=-1)  # [T, D]
+        return _mm(ctx, outw_ref, l, os_, w8a8)
+
+    def _layer(xs, l):
+        """One encoder layer over ``len(xs)`` independent [T, D] streams,
+        stage-major: each stage runs for every stream before the next stage
+        starts, so stream B's VPU stage (LN / quantize / softmax / GELU)
+        sits adjacent in program order to stream A's MXU stage with no data
+        dependency between them. Mosaic's scheduler then overlaps the units
+        (scripts/probe_w8a8_overlap on v5e: adjacent independent VPU||MXU
+        hides 76% of the VPU time; image-major order — singleton ``xs`` —
+        exposes every between-GEMM VPU stage serially instead)."""
+        hs = [_ln(x, ln1w_ref[l], ln1b_ref[l], eps) for x in xs]
+        if not w8a8:  # w8a8 quantizes from the fp32 LN output directly
+            hs = [h.astype(cdt) for h in hs]
+        qkvs = [(_mm(h, qkvw_ref, l, qs, w8a8, qhi, cdt)
+                 + qkvb_ref[l].astype(jnp.float32)).astype(cdt) for h in hs]
+        attns = [_attn_one(qkv, l) for qkv in qkvs]
+        xs = [x + a + outb_ref[l].astype(jnp.float32)  # residual 1
+              for x, a in zip(xs, attns)]
+        hs = [_ln(x, ln2w_ref[l], ln2b_ref[l], eps) for x in xs]
+        if not w8a8:
+            hs = [h.astype(cdt) for h in hs]
+        hids = [_gelu_fast(_mm(h, fc1w_ref, l, f1s, w8a8, f1hi, cdt)
+                           + fc1b_ref[l].astype(jnp.float32)) for h in hs]
+        mlps = [_mm(hid if w8a8 else hid.astype(cdt),
+                    fc2w_ref, l, f2s, w8a8, f2hi, cdt) for hid in hids]
+        return [x + m + fc2b_ref[l].astype(jnp.float32)  # residual 2
+                for x, m in zip(xs, mlps)]
+
+    def _run(streams):
+        xs = [x_ref[i].astype(jnp.float32) for i in streams]
         for l in range(depth):  # static unroll keeps weights VMEM-resident
-            h = _ln(x, ln1w_ref[l], ln1b_ref[l], eps)
-            if not w8a8:  # w8a8 quantizes from the fp32 LN output directly
-                h = h.astype(x_ref.dtype)
-            qkv = _mm(h, qkvw_ref, l, qs, w8a8, qhi, cdt)
-            qkv = (qkv + qkvb_ref[l].astype(jnp.float32)).astype(x_ref.dtype)
-            ctx_parts = []
-            for hh in range(num_heads):
-                qo, ko, vo = attention._packed_offsets("slab", hh, num_heads,
-                                                       head_dim)
-                o, _ = attention._head_attention(
-                    qkv[:, qo:qo + head_dim], qkv[:, ko:ko + head_dim],
-                    qkv[:, vo:vo + head_dim], scale,
-                )
-                ctx_parts.append(o.astype(x_ref.dtype))
-            if w8a8 and outlier:
-                attn = _mm_ctx_masked(ctx_parts, outw_ref, ohi, l, os_, kh,
-                                      cdt)
-            else:
-                ctx = jnp.concatenate(ctx_parts, axis=-1)  # [T, D]
-                attn = _mm(ctx, outw_ref, l, os_, w8a8)
-            x = x + attn + outb_ref[l].astype(jnp.float32)  # residual 1
-            h = _ln(x, ln2w_ref[l], ln2b_ref[l], eps)
-            if not w8a8:
-                h = h.astype(x_ref.dtype)
-            hid = _mm(h, fc1w_ref, l, f1s, w8a8, f1hi, cdt)
-            hid = hid + fc1b_ref[l].astype(jnp.float32)
-            hid = _gelu_fast(hid)
-            mlp = _mm(hid if w8a8 else hid.astype(x_ref.dtype),
-                      fc2w_ref, l, f2s, w8a8, f2hi, cdt)
-            x = x + mlp + fc2b_ref[l].astype(jnp.float32)  # residual 2
-        o_ref[img] = x.astype(o_ref.dtype)
+            xs = _layer(xs, l)
+        for i, xv in zip(streams, xs):
+            o_ref[i] = xv.astype(o_ref.dtype)
+
+    if stage_major and images_per_cell > 1:
+        _run(list(range(images_per_cell)))
+    else:  # image-major: one stream at a time (the round-3 order)
+        for img in range(images_per_cell):
+            _run([img])
 
 
 # Above this per-layer weight footprint (bytes, bf16), fall back to the
@@ -284,7 +304,8 @@ FUSED_BLOCK_MAX_WEIGHT_BYTES = 40 << 20
 
 def _group_call(x: jax.Array, g, config: ViTConfig, depth: int,
                 images_per_cell: int, interpret: bool,
-                w8a8: bool = False) -> jax.Array:
+                w8a8: bool = False,
+                stage_major: bool | None = None) -> jax.Array:
     """pallas_call for ``depth`` layers; ``g`` leaves carry a [depth] axis.
 
     Matmul weight leaves may be int8 quantized dicts ({"q", "scale"},
@@ -303,11 +324,17 @@ def _group_call(x: jax.Array, g, config: ViTConfig, depth: int,
             "outlier-aware quantized params (bf16 'hi' groups) require the "
             "w8a8 path; weight-only int8 has no activation scales to protect")
 
+    if stage_major is None:
+        # Default: stage-major for W8A8 multi-image cells (its quantize/LN
+        # VPU share is the measured bound, probe_w8a8_overlap); image-major
+        # for bf16 (98% of measured ceiling already — don't disturb).
+        stage_major = bool(w8a8 and quantized and images_per_cell > 1)
+
     kernel = functools.partial(
         _block_kernel, num_heads=config.num_heads, head_dim=config.head_dim,
         eps=config.eps, images_per_cell=images_per_cell, depth=depth,
         quantized=quantized, w8a8=w8a8 and quantized,
-        outlier=outlier and w8a8,
+        outlier=outlier and w8a8, stage_major=stage_major,
     )
 
     vmem_limit = _vmem_limit(depth, d, hdim,
@@ -347,11 +374,16 @@ def fused_encoder_layer(
     images_per_cell: int | None = None,
     interpret: bool | None = None,
     w8a8: bool = False,
+    stage_major: bool | None = None,
 ) -> jax.Array:
     """One pre-LN encoder layer, fully fused. x: [B, T, D] → [B, T, D].
 
     ``lp`` is one layer's slice of the stacked params (models/vit layout:
     qkv_w [D, 3D], out_w [D, D], fc1_w [D, H], fc2_w [H, D], fp32 LN/biases).
+
+    ``stage_major``: run the cell's images stage-by-stage instead of
+    image-by-image so independent VPU/MXU work sits adjacent for the Mosaic
+    scheduler (None = auto: on for W8A8 multi-image cells).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -363,7 +395,8 @@ def fused_encoder_layer(
     while b % images_per_cell:
         images_per_cell -= 1
     g = jax.tree.map(lambda a: a[None], lp)
-    return _group_call(x, g, config, 1, images_per_cell, interpret, w8a8)
+    return _group_call(x, g, config, 1, images_per_cell, interpret, w8a8,
+                       stage_major)
 
 
 def fused_encoder_group(
