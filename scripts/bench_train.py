@@ -42,7 +42,11 @@ def main():
     cfg = get_config(name)
     mesh = spmd.make_mesh(data=1, model=1)
 
-    params = jax.jit(lambda: vit.cheap_stacked_params(cfg, jnp.float32))()
+    # PARAM_DTYPE=bf16: halve master-weight memory — the single-chip mode
+    # for ViT-G (fp32 masters + fp32 grad accumulator exceed 16 GB HBM).
+    pdt = (jnp.bfloat16 if os.environ.get("PARAM_DTYPE", "f32")
+           in ("bf16", "bfloat16") else jnp.float32)
+    params = jax.jit(lambda: vit.cheap_stacked_params(cfg, pdt))()
     images = jax.jit(
         lambda k: jax.random.normal(
             k, (batch, cfg.in_chans, cfg.img_size, cfg.img_size),
@@ -67,17 +71,21 @@ def main():
     unroll = int(os.environ.get("UNROLL", "1"))
     results = {}
     for impl in impls:
-        if impl.startswith("fused_split"):
-            # Host loop over per-layer-group fused-VJP programs — trains
-            # ViT-L/H through the fused backward on compile-limited targets
-            # where the monolithic program crashes the compile helper
-            # (parallel/split_step). "fused_split4" = 4 layers/program.
+        if impl.startswith(("fused_split", "flash_split", "staged_split")):
+            # Host loop over per-layer-group VJP programs — trains ViT-L/H/G
+            # through small compiled units on compile-limited targets where
+            # the monolithic program crashes the compile helper
+            # (parallel/split_step). "fused_split4" = 4 layers/program,
+            # fused-kernel backward; "flash_split" = per-op layer with the
+            # flash-attention VJP (the only route at ViT-G width).
             from vit_with_opencl_tpu.parallel import split_step
 
-            gsz = int(impl[len("fused_split"):] or "1")
+            bw = {"flash": "flash", "stage": "fused_staged"}.get(
+                impl[:5], "fused")
+            gsz = int(impl.split("split")[1] or "1")
             step = split_step.make_split_train_step(
                 cfg, lr=1e-4, compute_dtype=jnp.bfloat16,
-                layers_per_program=gsz)
+                layers_per_program=gsz, backward=bw)
         else:
             step = spmd.make_train_step(cfg, mesh, lr=1e-4,
                                         compute_dtype=jnp.bfloat16,

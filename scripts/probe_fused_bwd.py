@@ -41,8 +41,12 @@ def run(tag, fn, *args):
 def main():
     enable_compilation_cache()
     stages = sys.argv[1:] or ["x2", "mlp", "attn", "full"]
-    cfg = get_config("vit_b_16_224")
-    b, t, d = 4, cfg.num_tokens, cfg.embed_dim
+    # PROBE_CFG/PROBE_B widen the hunt (round 4: grp_bwd 500s at D>=1024
+    # where D=768 compiles — which stage stops scaling?).
+    import os
+
+    cfg = get_config(os.environ.get("PROBE_CFG", "vit_b_16_224"))
+    b, t, d = int(os.environ.get("PROBE_B", "4")), cfg.num_tokens, cfg.embed_dim
     hdim = cfg.hidden_dim
     params = jax.jit(lambda: vit.cheap_stacked_params(cfg, jnp.float32))()
     np.asarray(params["patch_b"][:1])
@@ -102,6 +106,59 @@ def main():
     if "full" in stages:
         run("full-bwd", lambda xx, ll, dd: fb.fused_encoder_layer_bwd(
             xx, ll, dd, cfg, interpret=False), x, lp, dout)
+
+    if "light" in stages:  # the chunked path's light MLP backward alone
+        hc_keys = ("ln2_w", "ln2_b", "fc1_w", "fc1_b", "fc2_w")
+        light_specs, light_ops = fb._wspec_ops(g, hc_keys, d, hdim, x)
+        hid_cell = pl.BlockSpec((1, t, hdim), lambda i: (i, 0, 0))
+        small_keys = ("ln2_w", "ln2_b", "fc1_b", "fc2_b")
+        run("mlp-light-bwd", lambda xx, dd, *ops: pl.pallas_call(
+            functools.partial(fb._mlp_light_bwd_kernel, eps=cfg.eps,
+                              cdt=jnp.bfloat16, images_per_cell=1),
+            grid=(b,),
+            in_specs=[cell, cell] + light_specs,
+            out_specs=[cell, hid_cell, hid_cell]
+            + [fb._whole(grad_shape[k]) for k in small_keys],
+            out_shape=[jax.ShapeDtypeStruct((b, t, d), jnp.float32),
+                       jax.ShapeDtypeStruct((b, t, hdim), jnp.bfloat16),
+                       jax.ShapeDtypeStruct((b, t, hdim), jnp.bfloat16)]
+            + [jax.ShapeDtypeStruct(grad_shape[k], jnp.float32)
+               for k in small_keys],
+            compiler_params=cp1, interpret=False,
+        )(xx, dd, *ops), x2f, dout, *light_ops)
+
+    if "wgrad" in stages:  # the chunked path's H-chunked weight-grad kernel
+        chunks = fb._pick_mlp_chunks(d, hdim, 2)
+        hc = hdim // chunks
+        hid_s = jax.random.normal(key, (b, t, hdim), jnp.bfloat16)
+        dhp_s = jax.random.normal(key, (b, t, hdim), jnp.bfloat16)
+        run(f"mlp-wgrad(chunks={chunks})", lambda *ops: pl.pallas_call(
+            functools.partial(fb._mlp_wgrad_kernel, eps=cfg.eps,
+                              cdt=jnp.bfloat16, images_per_cell=1),
+            grid=(chunks, b),
+            in_specs=[
+                pl.BlockSpec((1, t, d), lambda h, i: (i, 0, 0)),
+                pl.BlockSpec((1, t, d), lambda h, i: (i, 0, 0)),
+                pl.BlockSpec((1, t, hc), lambda h, i: (i, 0, h)),
+                pl.BlockSpec((1, t, hc), lambda h, i: (i, 0, h)),
+                pl.BlockSpec((1, d), lambda h, i: (0, 0)),
+                pl.BlockSpec((1, d), lambda h, i: (0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, d, hc), lambda h, i: (0, 0, h)),
+                pl.BlockSpec((1, hc, d), lambda h, i: (0, h, 0)),
+            ],
+            out_shape=[jax.ShapeDtypeStruct((1, d, hdim), jnp.float32),
+                       jax.ShapeDtypeStruct((1, hdim, d), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary"),
+                vmem_limit_bytes=80 << 20),
+            interpret=False,
+        )(*ops), x2f, dout, hid_s, dhp_s, g["ln2_w"], g["ln2_b"])
+
+    if "full1" in stages:  # force the monolithic MLP kernel (no light/wgrad)
+        run("full-bwd-mlpchunks1", lambda xx, ll, dd: fb.fused_encoder_layer_bwd(
+            xx, ll, dd, cfg, interpret=False, mlp_chunks=1), x, lp, dout)
 
 
 def scan_stages():

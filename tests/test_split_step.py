@@ -101,3 +101,61 @@ def test_split_step_grad_clip_and_soft_labels(setup):
 def test_split_step_rejects_bad_group():
     with pytest.raises(ValueError, match="must divide depth"):
         split_step.make_split_train_step(CFG, layers_per_program=3)
+
+
+def test_split_step_staged_backward_matches_fused(setup):
+    """backward='fused_staged' (one jit per backward Pallas stage — the
+    D>=1024 relay-compile dodge) must reproduce the fused split step
+    exactly: same kernels, different program boundaries."""
+    params, images, labels = setup
+    ref_step = split_step.make_split_train_step(
+        CFG, lr=1e-2, compute_dtype=jnp.float32, layers_per_program=1)
+    p_ref, loss_ref = ref_step(params, images, labels)
+    step = split_step.make_split_train_step(
+        CFG, lr=1e-2, compute_dtype=jnp.float32, layers_per_program=1,
+        backward="fused_staged")
+    p_new, loss = step(params, images, labels)
+    assert abs(float(loss) - float(loss_ref)) < 1e-7
+    for a, b in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p_new)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_split_step_flash_backward_matches_monolithic_flash(setup):
+    """backward='flash' (per-op layer + flash-attention VJP per group) must
+    match spmd.make_train_step(attention_impl='flash') — the route for
+    widths the fused trainable kernel cannot hold (ViT-G: 76.7 MB/layer)."""
+    params, images, labels = setup
+    mesh = spmd.make_mesh(data=1, model=1)
+    mono = spmd.make_train_step(
+        CFG, mesh, lr=1e-2, compute_dtype=jnp.float32,
+        attention_impl="flash")
+    p_ref, loss_ref = mono(params, images, labels)
+    step = split_step.make_split_train_step(
+        CFG, lr=1e-2, compute_dtype=jnp.float32, layers_per_program=2,
+        backward="flash")
+    p_new, loss = step(params, images, labels)
+    assert abs(float(loss) - float(loss_ref)) < 1e-6
+    for k, ref_leaf, new_leaf in zip(
+            jax.tree_util.tree_leaves_with_path(p_ref),
+            jax.tree.leaves(p_ref), jax.tree.leaves(p_new)):
+        np.testing.assert_allclose(
+            np.asarray(new_leaf, np.float32), np.asarray(ref_leaf, np.float32),
+            atol=2e-5, rtol=2e-5, err_msg=str(k[0]))
+
+
+def test_split_step_flash_bf16_params_descend(setup):
+    """bf16 param masters (the ViT-G single-chip memory mode): the flash
+    split step must run and descend with bf16 params end-to-end."""
+    params, images, labels = setup
+    p = jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16)
+        if jnp.issubdtype(a.dtype, jnp.floating) else a, params)
+    step = split_step.make_split_train_step(
+        CFG, lr=5e-2, compute_dtype=jnp.bfloat16, layers_per_program=2,
+        backward="flash")
+    losses = []
+    for _ in range(5):
+        p, loss = step(p, images, labels)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], losses
+    assert jax.tree.leaves(p)[0].dtype == jnp.bfloat16

@@ -966,6 +966,208 @@ def _pick_mlp_chunks(d: int, hdim: int, itemsize: int) -> int:
     )
 
 
+_ATTN_KEYS = ("ln1_w", "ln1_b", "qkv_w", "qkv_b", "out_w", "out_b")
+_MLP_KEYS = ("ln2_w", "ln2_b", "fc1_w", "fc1_b", "fc2_w", "fc2_b")
+
+
+def _bwd_ctx(x: jax.Array, lp, config: ViTConfig, images_per_cell: int,
+             interpret: bool | None):
+    """Shared backward-stage setup (specs, compiler params, grad shapes)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, t, d = x.shape
+    hdim = config.hidden_dim
+    ipc = images_per_cell
+    while b % ipc:
+        ipc -= 1
+    g = jax.tree.map(lambda a: a[None], lp)
+    itemsize = x.dtype.itemsize
+    wb_attn = (d * 3 * d + d * d) * itemsize
+    wb_mlp = 2 * d * hdim * itemsize
+    ctx = {
+        "interpret": interpret, "b": b, "t": t, "d": d, "hdim": hdim,
+        "ipc": ipc, "g": g, "cdt": x.dtype, "wb_mlp": wb_mlp,
+        "cell": pl.BlockSpec((ipc, t, d), lambda i: (i, 0, 0)),
+        "params_attn": pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=min(max(64 << 20, 3 * wb_attn + (24 << 20)),
+                                 110 << 20)),
+        "params_mlp": pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=min(max(64 << 20, 3 * wb_mlp + (24 << 20)),
+                                 110 << 20)),
+        "grad_shape": {k: (1,) + np.shape(lp[k])
+                       for k in _ATTN_KEYS + _MLP_KEYS},
+    }
+    return ctx
+
+
+def fused_bwd_stage_x2(x: jax.Array, lp, config: ViTConfig, *,
+                       images_per_cell: int = 1,
+                       interpret: bool | None = None) -> jax.Array:
+    """Backward stage 1: attention-half forward recompute, x → fp32 x2."""
+    c = _bwd_ctx(x, lp, config, images_per_cell, interpret)
+    attn_specs, attn_ops = _wspec_ops(c["g"], _ATTN_KEYS, c["d"], c["hdim"],
+                                      x)
+    return pl.pallas_call(
+        functools.partial(
+            _attn_half_fwd_kernel, num_heads=config.num_heads,
+            head_dim=config.head_dim, eps=config.eps,
+            images_per_cell=c["ipc"],
+        ),
+        grid=(c["b"] // c["ipc"],),
+        in_specs=[c["cell"]] + attn_specs,
+        out_specs=c["cell"],
+        out_shape=jax.ShapeDtypeStruct((c["b"], c["t"], c["d"]),
+                                       jnp.float32),
+        compiler_params=c["params_attn"],
+        interpret=c["interpret"],
+    )(x, *attn_ops)
+
+
+def fused_bwd_stage_mlp_light(x2: jax.Array, dout: jax.Array, lp,
+                              config: ViTConfig, *, images_per_cell: int = 1,
+                              interpret: bool | None = None):
+    """Backward stage 2a (chunked route): everything in the MLP backward
+    except the two big weight grads. Returns (dx2 fp32, hid_s, dhp_s
+    activation streams, small-grad dict with leading [1] axes)."""
+    c = _bwd_ctx(dout, lp, config, images_per_cell, interpret)
+    light_keys = ("ln2_w", "ln2_b", "fc1_w", "fc1_b", "fc2_w")
+    light_specs, light_ops = _wspec_ops(c["g"], light_keys, c["d"],
+                                        c["hdim"], dout)
+    hid_cell = pl.BlockSpec((c["ipc"], c["t"], c["hdim"]),
+                            lambda i: (i, 0, 0))
+    small_keys = ("ln2_w", "ln2_b", "fc1_b", "fc2_b")
+    params_light = pltpu.CompilerParams(
+        dimension_semantics=("arbitrary",),
+        vmem_limit_bytes=min(c["wb_mlp"] + (48 << 20), 110 << 20),
+    )
+    light_outs = pl.pallas_call(
+        functools.partial(_mlp_light_bwd_kernel, eps=config.eps,
+                          cdt=c["cdt"], images_per_cell=c["ipc"]),
+        grid=(c["b"] // c["ipc"],),
+        in_specs=[c["cell"], c["cell"]] + light_specs,
+        out_specs=[c["cell"], hid_cell, hid_cell]
+        + [_whole(c["grad_shape"][k]) for k in small_keys],
+        out_shape=[jax.ShapeDtypeStruct((c["b"], c["t"], c["d"]),
+                                        jnp.float32),
+                   jax.ShapeDtypeStruct((c["b"], c["t"], c["hdim"]),
+                                        c["cdt"]),
+                   jax.ShapeDtypeStruct((c["b"], c["t"], c["hdim"]),
+                                        c["cdt"])]
+        + [jax.ShapeDtypeStruct(c["grad_shape"][k], jnp.float32)
+           for k in small_keys],
+        compiler_params=params_light,
+        interpret=c["interpret"],
+    )(x2, dout, *light_ops)
+    small = {k: light_outs[3 + i] for i, k in enumerate(small_keys)}
+    return light_outs[0], light_outs[1], light_outs[2], small
+
+
+def fused_bwd_stage_mlp_wgrad(x2: jax.Array, dout: jax.Array,
+                              hid_s: jax.Array, dhp_s: jax.Array, lp,
+                              config: ViTConfig, *, images_per_cell: int = 1,
+                              mlp_chunks: int = 2,
+                              interpret: bool | None = None):
+    """Backward stage 2b (chunked route): the two big MLP weight grads,
+    H-chunked fp32 accumulators. Returns (dfc1_w [1,D,H], dfc2_w [1,H,D])."""
+    c = _bwd_ctx(dout, lp, config, images_per_cell, interpret)
+    hdim, d, t, ipc = c["hdim"], c["d"], c["t"], c["ipc"]
+    if hdim % mlp_chunks:
+        raise ValueError(
+            f"mlp_chunks={mlp_chunks} must divide hidden_dim={hdim}")
+    hc = hdim // mlp_chunks
+    params_wgrad = pltpu.CompilerParams(
+        dimension_semantics=("arbitrary", "arbitrary"),
+        vmem_limit_bytes=min(2 * d * hc * 4 + (48 << 20), 110 << 20),
+    )
+    return pl.pallas_call(
+        functools.partial(_mlp_wgrad_kernel, eps=config.eps, cdt=c["cdt"],
+                          images_per_cell=ipc),
+        grid=(mlp_chunks, c["b"] // ipc),
+        in_specs=[
+            pl.BlockSpec((ipc, t, d), lambda h, i: (i, 0, 0)),
+            pl.BlockSpec((ipc, t, d), lambda h, i: (i, 0, 0)),
+            pl.BlockSpec((ipc, t, hc), lambda h, i: (i, 0, h)),
+            pl.BlockSpec((ipc, t, hc), lambda h, i: (i, 0, h)),
+            pl.BlockSpec((1, d), lambda h, i: (0, 0)),
+            pl.BlockSpec((1, d), lambda h, i: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, d, hc), lambda h, i: (0, 0, h)),
+            pl.BlockSpec((1, hc, d), lambda h, i: (0, h, 0)),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((1, d, hdim), jnp.float32),
+                   jax.ShapeDtypeStruct((1, hdim, d), jnp.float32)],
+        compiler_params=params_wgrad,
+        interpret=c["interpret"],
+    )(x2, dout, hid_s, dhp_s, c["g"]["ln2_w"], c["g"]["ln2_b"])
+
+
+def fused_bwd_stage_mlp_mono(x2: jax.Array, dout: jax.Array, lp,
+                             config: ViTConfig, *, images_per_cell: int = 1,
+                             interpret: bool | None = None):
+    """Backward stage 2 (single-kernel route, D<=768-class widths):
+    (x2, dOut) → (dx2 fp32, full MLP-grad dict with leading [1] axes)."""
+    c = _bwd_ctx(dout, lp, config, images_per_cell, interpret)
+    mlp_specs, mlp_ops = _wspec_ops(c["g"], _MLP_KEYS, c["d"], c["hdim"],
+                                    dout)
+    mlp_outs = pl.pallas_call(
+        functools.partial(_mlp_bwd_kernel, eps=config.eps, cdt=c["cdt"],
+                          images_per_cell=c["ipc"]),
+        grid=(c["b"] // c["ipc"],),
+        in_specs=[c["cell"], c["cell"]] + mlp_specs,
+        out_specs=[c["cell"]]
+        + [_whole(c["grad_shape"][k]) for k in _MLP_KEYS],
+        out_shape=[jax.ShapeDtypeStruct((c["b"], c["t"], c["d"]),
+                                        jnp.float32)]
+        + [jax.ShapeDtypeStruct(c["grad_shape"][k], jnp.float32)
+           for k in _MLP_KEYS],
+        compiler_params=c["params_mlp"],
+        interpret=c["interpret"],
+    )(x2, dout, *mlp_ops)
+    return mlp_outs[0], {k: mlp_outs[1 + i] for i, k in enumerate(_MLP_KEYS)}
+
+
+def fused_bwd_stage_attn(x: jax.Array, dx2: jax.Array, lp,
+                         config: ViTConfig, *, images_per_cell: int = 1,
+                         interpret: bool | None = None):
+    """Backward stage 3: (x, fp32 dx2) → (dx, attention-grad dict with
+    leading [1] axes). Recomputes the attention half from x in-kernel;
+    nothing [T, T]-shaped touches HBM."""
+    c = _bwd_ctx(x, lp, config, images_per_cell, interpret)
+    attn_specs, attn_ops = _wspec_ops(c["g"], _ATTN_KEYS, c["d"], c["hdim"],
+                                      x)
+    attn_outs = pl.pallas_call(
+        functools.partial(
+            _attn_bwd_kernel, num_heads=config.num_heads,
+            head_dim=config.head_dim, eps=config.eps,
+            images_per_cell=c["ipc"],
+        ),
+        grid=(c["b"] // c["ipc"],),
+        in_specs=[c["cell"], c["cell"]] + attn_specs,
+        out_specs=[c["cell"]]
+        + [_whole(c["grad_shape"][k]) for k in _ATTN_KEYS],
+        out_shape=[jax.ShapeDtypeStruct((c["b"], c["t"], c["d"]), x.dtype)]
+        + [jax.ShapeDtypeStruct(c["grad_shape"][k], jnp.float32)
+           for k in _ATTN_KEYS],
+        compiler_params=c["params_attn"],
+        interpret=c["interpret"],
+    )(x, dx2, *attn_ops)
+    return attn_outs[0], {k: attn_outs[1 + i]
+                          for i, k in enumerate(_ATTN_KEYS)}
+
+
+def grads_to_leaf_dtypes(lp, grads):
+    """Strip the leading [1] accumulator axis and cast each grad to its
+    primal leaf's dtype (JAX cotangent contract)."""
+    def leaf_dtype(k):
+        a = lp[k]
+        return a.dtype if hasattr(a, "dtype") else np.asarray(a).dtype
+
+    return {k: v[0].astype(leaf_dtype(k)) for k, v in grads.items()}
+
+
 def fused_encoder_layer_bwd(
     x: jax.Array,
     lp,
@@ -987,155 +1189,31 @@ def fused_encoder_layer_bwd(
     leaves are cast to the primal leaf dtypes (JAX cotangent contract);
     accumulation is fp32 throughout; x is the only residual the autodiff
     graph saves per layer.
+
+    The stages are also exposed individually (``fused_bwd_stage_*``) so a
+    compile-limited target can jit each as its OWN program: the relay's
+    compile helper crashes on the combined D>=1024 program while every
+    stage compiles standalone (scripts/probe_fused_bwd.py, round 4) —
+    parallel/split_step's staged mode exploits exactly that.
     """
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
     b, t, d = x.shape
     hdim = config.hidden_dim
-    ipc = images_per_cell
-    while b % ipc:
-        ipc -= 1
-
-    g = jax.tree.map(lambda a: a[None], lp)
-    cell = pl.BlockSpec((ipc, t, d), lambda i: (i, 0, 0))
-    f32 = jnp.float32
-    cdt = x.dtype
-    itemsize = x.dtype.itemsize
-    attn_keys = ("ln1_w", "ln1_b", "qkv_w", "qkv_b", "out_w", "out_b")
-    mlp_keys = ("ln2_w", "ln2_b", "fc1_w", "fc1_b", "fc2_w", "fc2_b")
-    attn_specs, attn_ops = _wspec_ops(g, attn_keys, d, hdim, x)
-    mlp_specs, mlp_ops = _wspec_ops(g, mlp_keys, d, hdim, x)
-    wb_attn = (d * 3 * d + d * d) * itemsize
-    wb_mlp = 2 * d * hdim * itemsize
-    params_attn = pltpu.CompilerParams(
-        dimension_semantics=("arbitrary",),
-        vmem_limit_bytes=min(max(64 << 20, 3 * wb_attn + (24 << 20)),
-                             110 << 20),
-    )
-    params_mlp = pltpu.CompilerParams(
-        dimension_semantics=("arbitrary",),
-        vmem_limit_bytes=min(max(64 << 20, 3 * wb_mlp + (24 << 20)),
-                             110 << 20),
-    )
-    grad_shape = {k: (1,) + np.shape(lp[k]) for k in attn_keys + mlp_keys}
-
-    # 1) attention-half forward recompute: x → fp32 x2.
-    x2 = pl.pallas_call(
-        functools.partial(
-            _attn_half_fwd_kernel, num_heads=config.num_heads,
-            head_dim=config.head_dim, eps=config.eps, images_per_cell=ipc,
-        ),
-        grid=(b // ipc,),
-        in_specs=[cell] + attn_specs,
-        out_specs=cell,
-        out_shape=jax.ShapeDtypeStruct((b, t, d), f32),
-        compiler_params=params_attn,
-        interpret=interpret,
-    )(x, *attn_ops)
-
-    # 2) MLP backward: (x2, dOut) → fp32 dx2 + MLP grads. Grad outputs use
-    # constant index maps, staying VMEM-resident to accumulate across the
-    # sequential batch grid (same trick as the forward's weights).
+    kw = dict(images_per_cell=images_per_cell, interpret=interpret)
+    x2 = fused_bwd_stage_x2(x, lp, config, **kw)
     if mlp_chunks is None:
-        mlp_chunks = _pick_mlp_chunks(d, hdim, itemsize)
+        mlp_chunks = _pick_mlp_chunks(d, hdim, x.dtype.itemsize)
     if mlp_chunks == 1:
-        mlp_outs = pl.pallas_call(
-            functools.partial(_mlp_bwd_kernel, eps=config.eps, cdt=cdt,
-                              images_per_cell=ipc),
-            grid=(b // ipc,),
-            in_specs=[cell, cell] + mlp_specs,
-            out_specs=[cell] + [_whole(grad_shape[k]) for k in mlp_keys],
-            out_shape=[jax.ShapeDtypeStruct((b, t, d), f32)]
-            + [jax.ShapeDtypeStruct(grad_shape[k], f32) for k in mlp_keys],
-            compiler_params=params_mlp,
-            interpret=interpret,
-        )(x2, dout, *mlp_ops)
-        dx2 = mlp_outs[0]
-        mlp_grads = {k: mlp_outs[1 + i] for i, k in enumerate(mlp_keys)}
+        dx2, mlp_grads = fused_bwd_stage_mlp_mono(x2, dout, lp, config, **kw)
     else:
-        if hdim % mlp_chunks:
-            raise ValueError(
-                f"mlp_chunks={mlp_chunks} must divide hidden_dim={hdim}"
-            )
-        hc = hdim // mlp_chunks
-        light_keys = ("ln2_w", "ln2_b", "fc1_w", "fc1_b", "fc2_w")
-        light_specs, light_ops = _wspec_ops(g, light_keys, d, hdim, x)
-        hid_cell = pl.BlockSpec((ipc, t, hdim), lambda i: (i, 0, 0))
-        small_keys = ("ln2_w", "ln2_b", "fc1_b", "fc2_b")
-        params_light = pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=min(wb_mlp + (48 << 20), 110 << 20),
-        )
-        light_outs = pl.pallas_call(
-            functools.partial(_mlp_light_bwd_kernel, eps=config.eps,
-                              cdt=cdt, images_per_cell=ipc),
-            grid=(b // ipc,),
-            in_specs=[cell, cell] + light_specs,
-            out_specs=[cell, hid_cell, hid_cell]
-            + [_whole(grad_shape[k]) for k in small_keys],
-            out_shape=[jax.ShapeDtypeStruct((b, t, d), f32),
-                       jax.ShapeDtypeStruct((b, t, hdim), cdt),
-                       jax.ShapeDtypeStruct((b, t, hdim), cdt)]
-            + [jax.ShapeDtypeStruct(grad_shape[k], f32)
-               for k in small_keys],
-            compiler_params=params_light,
-            interpret=interpret,
-        )(x2, dout, *light_ops)
-        dx2, hid_s, dhp_s = light_outs[0], light_outs[1], light_outs[2]
-        mlp_grads = {k: light_outs[3 + i] for i, k in enumerate(small_keys)}
-
-        chunk_grads = 2 * d * hc * 4
-        params_wgrad = pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
-            vmem_limit_bytes=min(chunk_grads + (48 << 20), 110 << 20),
-        )
-        wg = pl.pallas_call(
-            functools.partial(_mlp_wgrad_kernel, eps=config.eps, cdt=cdt,
-                              images_per_cell=ipc),
-            grid=(mlp_chunks, b // ipc),
-            in_specs=[
-                pl.BlockSpec((ipc, t, d), lambda h, i: (i, 0, 0)),
-                pl.BlockSpec((ipc, t, d), lambda h, i: (i, 0, 0)),
-                pl.BlockSpec((ipc, t, hc), lambda h, i: (i, 0, h)),
-                pl.BlockSpec((ipc, t, hc), lambda h, i: (i, 0, h)),
-                pl.BlockSpec((1, d), lambda h, i: (0, 0)),
-                pl.BlockSpec((1, d), lambda h, i: (0, 0)),
-            ],
-            out_specs=[
-                pl.BlockSpec((1, d, hc), lambda h, i: (0, 0, h)),
-                pl.BlockSpec((1, hc, d), lambda h, i: (0, h, 0)),
-            ],
-            out_shape=[jax.ShapeDtypeStruct((1, d, hdim), f32),
-                       jax.ShapeDtypeStruct((1, hdim, d), f32)],
-            compiler_params=params_wgrad,
-            interpret=interpret,
-        )(x2, dout, hid_s, dhp_s, g["ln2_w"], g["ln2_b"])
+        dx2, hid_s, dhp_s, mlp_grads = fused_bwd_stage_mlp_light(
+            x2, dout, lp, config, **kw)
+        wg = fused_bwd_stage_mlp_wgrad(x2, dout, hid_s, dhp_s, lp, config,
+                                       mlp_chunks=mlp_chunks, **kw)
         mlp_grads["fc1_w"] = wg[0]
         mlp_grads["fc2_w"] = wg[1]
-
-    # 3) attention backward: (x, dx2) → dx + attention grads.
-    attn_outs = pl.pallas_call(
-        functools.partial(
-            _attn_bwd_kernel, num_heads=config.num_heads,
-            head_dim=config.head_dim, eps=config.eps, images_per_cell=ipc,
-        ),
-        grid=(b // ipc,),
-        in_specs=[cell, cell] + attn_specs,
-        out_specs=[cell] + [_whole(grad_shape[k]) for k in attn_keys],
-        out_shape=[jax.ShapeDtypeStruct((b, t, d), x.dtype)]
-        + [jax.ShapeDtypeStruct(grad_shape[k], f32) for k in attn_keys],
-        compiler_params=params_attn,
-        interpret=interpret,
-    )(x, dx2, *attn_ops)
-    dx = attn_outs[0]
-
-    def leaf_dtype(k):
-        a = lp[k]
-        return a.dtype if hasattr(a, "dtype") else np.asarray(a).dtype
-
-    dlp = {k: v[0].astype(leaf_dtype(k)) for k, v in mlp_grads.items()}
-    dlp.update({k: attn_outs[1 + i][0].astype(leaf_dtype(k))
-                for i, k in enumerate(attn_keys)})
+    dx, attn_grads = fused_bwd_stage_attn(x, dx2, lp, config, **kw)
+    dlp = grads_to_leaf_dtypes(lp, mlp_grads)
+    dlp.update(grads_to_leaf_dtypes(lp, attn_grads))
     return dx, dlp
 
 

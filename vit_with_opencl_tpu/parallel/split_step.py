@@ -79,15 +79,25 @@ def make_split_train_step(
     label_smoothing: float = 0.0,
     grad_clip_norm: Optional[float] = None,
     images_per_cell: Optional[int] = None,
+    backward: str = "fused",
 ):
     """Build the host-loop step. Returns ``step(params, images, labels) →
     (new_params, loss)`` — same contract as spmd.make_train_step's SGD mode;
-    ``params`` is the stacked fp32 tree (vit.stack_params layout).
+    ``params`` is the stacked tree (vit.stack_params layout; fp32 masters
+    or bf16 for memory-bound giants — SGD updates in the param dtype).
 
-    ``layers_per_program`` (G): fused layers chained per compiled program.
+    ``layers_per_program`` (G): layers chained per compiled program.
     G=1 → one-layer programs (the smallest possible compile units);
     G=4 → quarter-depth programs (fewer dispatches, still far under the
     monolith's size). Must divide ``config.depth``.
+
+    ``backward``: 'fused' routes each layer through the rematerializing
+    fused-kernel VJP (ops/fused_block); 'flash' runs the per-op layer with
+    Pallas flash attention and differentiates it per group via jax.vjp —
+    the only option at widths the fused trainable kernel cannot hold in
+    VMEM (ViT-G: 76.7 MB/layer weights), and the same remat economics
+    (the group backward replays its layers' forward from the saved
+    per-layer inputs).
     """
     from ..ops import fused_block
 
@@ -97,11 +107,17 @@ def make_split_train_step(
         raise ValueError(
             f"layers_per_program={gsz} must divide depth={depth}")
     n_groups = depth // gsz
-    if not fused_block.supports_trainable(
+    if backward not in ("fused", "fused_staged", "flash"):
+        raise ValueError(f"backward must be 'fused', 'fused_staged' or "
+                         f"'flash', got {backward!r}")
+    if backward == "fused_staged" and gsz != 1:
+        raise ValueError("backward='fused_staged' jits each backward stage "
+                         "as its own program; layers_per_program must be 1")
+    if backward.startswith("fused") and not fused_block.supports_trainable(
             config, dtype_bytes=jnp.dtype(compute_dtype).itemsize):
         raise ValueError(
             f"{config.name}: fused trainable layer unsupported at this "
-            "width; use spmd.make_train_step(attention_impl='flash')")
+            "width; use backward='flash'")
     ipc = images_per_cell or 1
     if grad_clip_norm is not None and not grad_clip_norm > 0.0:
         raise ValueError(f"grad_clip_norm must be > 0, got {grad_clip_norm}")
@@ -124,14 +140,31 @@ def make_split_train_step(
     def stem_fwd(images, rest):
         return _stem(images, rest)
 
+    if backward == "flash":
+        from ..ops.attention import packed_fused_attention_trainable
+
+        # Per-op layer with the TRAINABLE packed flash kernel (custom VJP)
+        # — same wiring as spmd.make_train_step(attention_impl='flash').
+        flash_kernels = vit.resolve_kernels("xla")
+        flash_kernels["attention_packed"] = (
+            lambda qkv, cfg: packed_fused_attention_trainable(
+                qkv, cfg.num_heads, cfg.head_dim))
+
+        def _layer_fn(x, lp):
+            x = x + vit._attention_block(x, lp, config, flash_kernels)
+            return x + vit._mlp_block(x, lp, config, flash_kernels)
+    else:
+        def _layer_fn(x, lp):
+            return fused_block.fused_encoder_layer(
+                x, lp, config, images_per_cell=ipc)
+
     @jax.jit
     def grp_fwd(x, layers, g):
         xs = []
         for i in range(gsz):
             xs.append(x)
             lp = _slice_layer(layers, g * gsz + i)
-            x = fused_block.fused_encoder_layer(
-                x, lp, config, images_per_cell=ipc)
+            x = _layer_fn(x, lp)
         return x, jnp.stack(xs)
 
     @jax.jit
@@ -145,13 +178,73 @@ def make_split_train_step(
         for i in reversed(range(gsz)):
             idx = g * gsz + i
             lp = _slice_layer(layers, idx)
-            dy, dlp = fused_block.fused_encoder_layer_bwd(
-                xs[i], lp, dy, config, images_per_cell=ipc)
+            if backward == "flash":
+                _, vjp = jax.vjp(_layer_fn, xs[i], lp)
+                dy, dlp = vjp(dy.astype(xs.dtype))
+            else:
+                dy, dlp = fused_block.fused_encoder_layer_bwd(
+                    xs[i], lp, dy, config, images_per_cell=ipc)
             acc = jax.tree.map(
                 lambda a, d: jax.lax.dynamic_update_index_in_dim(
                     a, d.astype(a.dtype), idx, 0),
                 acc, dlp)
         return dy, acc
+
+    # --- staged fused backward: one jit per Pallas stage -----------------
+    # The relay's compile helper crashes on the COMBINED per-layer fused
+    # backward at D>=1024 while every stage compiles standalone
+    # (scripts/probe_fused_bwd.py round 4); these programs each hold
+    # exactly one Pallas kernel.
+    mlp_chunks = (fused_block._pick_mlp_chunks(
+        config.embed_dim, config.hidden_dim,
+        jnp.dtype(compute_dtype).itemsize)
+        if backward == "fused_staged" else None)
+
+    @jax.jit
+    def bwd_x2(x, layers, g):
+        return fused_block.fused_bwd_stage_x2(
+            x, _slice_layer(layers, g), config, images_per_cell=ipc)
+
+    @jax.jit
+    def bwd_mlp_mono(x2, dy, layers, g):
+        return fused_block.fused_bwd_stage_mlp_mono(
+            x2, dy, _slice_layer(layers, g), config, images_per_cell=ipc)
+
+    @jax.jit
+    def bwd_mlp_light(x2, dy, layers, g):
+        return fused_block.fused_bwd_stage_mlp_light(
+            x2, dy, _slice_layer(layers, g), config, images_per_cell=ipc)
+
+    @jax.jit
+    def bwd_mlp_wgrad(x2, dy, hid_s, dhp_s, layers, g):
+        return fused_block.fused_bwd_stage_mlp_wgrad(
+            x2, dy, hid_s, dhp_s, _slice_layer(layers, g), config,
+            images_per_cell=ipc, mlp_chunks=mlp_chunks)
+
+    @jax.jit
+    def bwd_attn(x, dx2, layers, g):
+        return fused_block.fused_bwd_stage_attn(
+            x, dx2, _slice_layer(layers, g), config, images_per_cell=ipc)
+
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def scatter(dlp_raw, acc, g):
+        """Write one layer's raw [1, ...] fp32 grads into the stacked
+        accumulator at index ``g`` (donated in place)."""
+        return jax.tree.map(
+            lambda a, dv: jax.lax.dynamic_update_index_in_dim(
+                a, dv[0].astype(a.dtype), g, 0),
+            acc, dlp_raw)
+
+    def staged_layer_bwd(x_in, dy, layers, g, acc):
+        x2 = bwd_x2(x_in, layers, g)
+        if mlp_chunks == 1:
+            dx2, mlp_g = bwd_mlp_mono(x2, dy, layers, g)
+        else:
+            dx2, hid_s, dhp_s, mlp_g = bwd_mlp_light(x2, dy, layers, g)
+            wg = bwd_mlp_wgrad(x2, dy, hid_s, dhp_s, layers, g)
+            mlp_g = dict(mlp_g, fc1_w=wg[0], fc2_w=wg[1])
+        dy, attn_g = bwd_attn(x_in, dx2, layers, g)
+        return dy, scatter({**mlp_g, **attn_g}, acc, g)
 
     @jax.jit
     def stem_bwd(images, rest, dx0):
@@ -194,7 +287,10 @@ def make_split_train_step(
                                     a.dtype, jnp.floating) else jnp.float32),
             layers)
         for g in reversed(range(n_groups)):
-            dy, acc = grp_bwd(saved[g], layers, g, dy, acc)
+            if backward == "fused_staged":
+                dy, acc = staged_layer_bwd(saved[g][0], dy, layers, g, acc)
+            else:
+                dy, acc = grp_bwd(saved[g], layers, g, dy, acc)
             saved[g] = None  # free the group's activations promptly
         drest_stem = stem_bwd(images, rest, dy)
         new_params = update(params, acc, drest_head, drest_stem)
@@ -202,4 +298,11 @@ def make_split_train_step(
 
     step.n_programs = 5
     step.n_groups = n_groups
+    # Exposed for compile-probing (scripts/probe_split_compile.py): which
+    # of the five programs a compile-limited target rejects.
+    step.programs = {
+        "stem_fwd": stem_fwd, "grp_fwd": grp_fwd,
+        "head_fwd_bwd": head_fwd_bwd, "grp_bwd": grp_bwd,
+        "stem_bwd": stem_bwd, "update": update,
+    }
     return step
