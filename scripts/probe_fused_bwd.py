@@ -103,6 +103,20 @@ def main():
             compiler_params=cp1, interpret=False,
         )(xx, dd, *ops), x, dout, *attn_ops)
 
+    if "attnf32" in stages:  # production passes dx2 as fp32 — the real case
+        run("attn-bwd-f32dx2", lambda xx, dd, *ops: pl.pallas_call(
+            functools.partial(
+                fb._attn_bwd_kernel, num_heads=cfg.num_heads,
+                head_dim=cfg.head_dim, eps=cfg.eps, images_per_cell=1),
+            grid=(b,),
+            in_specs=[cell, cell] + attn_specs,
+            out_specs=[cell] + [fb._whole(grad_shape[k]) for k in attn_keys],
+            out_shape=[jax.ShapeDtypeStruct((b, t, d), jnp.bfloat16)]
+            + [jax.ShapeDtypeStruct(grad_shape[k], jnp.float32)
+               for k in attn_keys],
+            compiler_params=cp1, interpret=False,
+        )(xx, dd, *ops), x, x2f, *attn_ops)
+
     if "full" in stages:
         run("full-bwd", lambda xx, ll, dd: fb.fused_encoder_layer_bwd(
             xx, ll, dd, cfg, interpret=False), x, lp, dout)

@@ -5,7 +5,7 @@ path, VERDICT r3 #5)
 Lowers and compiles each program standalone — no execution — so one crash
 doesn't poison the queue for the rest, and reports per-program verdicts.
 
-Usage: python scripts/probe_split_compile.py [config] [batch] [G]
+Usage: python scripts/probe_split_compile.py [config] [batch] [G] [backward]
 """
 from __future__ import annotations
 
@@ -26,9 +26,11 @@ def main():
     name = sys.argv[1] if len(sys.argv) > 1 else "vit_l_16_384"
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 16
     gsz = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+    backward = sys.argv[4] if len(sys.argv) > 4 else "fused"
     cfg = get_config(name)
     step = split_step.make_split_train_step(
-        cfg, lr=1e-4, compute_dtype=jnp.bfloat16, layers_per_program=gsz)
+        cfg, lr=1e-4, compute_dtype=jnp.bfloat16, layers_per_program=gsz,
+        backward=backward)
 
     cdt = jnp.bfloat16
     params = jax.eval_shape(
@@ -46,6 +48,13 @@ def main():
         lambda a: jax.ShapeDtypeStruct(
             a.shape, a.dtype if jnp.issubdtype(a.dtype, jnp.floating)
             else jnp.float32), layers)
+    x2 = jax.ShapeDtypeStruct((batch, t, d), jnp.float32)
+    hid = jax.ShapeDtypeStruct((batch, t, cfg.hidden_dim), cdt)
+    dlp_raw = jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct((1,) + a.shape[1:], jnp.float32),
+        layers)
+    lp_s = jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(a.shape[1:], a.dtype), layers)
     args = {
         "stem_fwd": (images, rest),
         "grp_fwd": (x, layers, g),
@@ -53,8 +62,16 @@ def main():
         "grp_bwd": (xs, layers, g, x, acc),
         "stem_bwd": (images, rest, x),
         "update": (params, acc, rest, rest),
+        "slice_layer": (layers, g),
+        "bwd_x2": (x, lp_s),
+        "bwd_mlp_mono": (x2, x, lp_s),
+        "bwd_mlp_light": (x2, x, lp_s),
+        "bwd_mlp_wgrad": (x2, x, hid, hid, lp_s),
+        "bwd_attn": (x, x2, lp_s),
+        "scatter": (dlp_raw, acc, g),
     }
-    for pname, a in args.items():
+    for pname in step.programs:
+        a = args[pname]
         fn = step.programs[pname]
         t0 = time.perf_counter()
         try:

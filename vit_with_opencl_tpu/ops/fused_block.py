@@ -988,9 +988,12 @@ def _bwd_ctx(x: jax.Array, lp, config: ViTConfig, images_per_cell: int,
         "interpret": interpret, "b": b, "t": t, "d": d, "hdim": hdim,
         "ipc": ipc, "g": g, "cdt": x.dtype, "wb_mlp": wb_mlp,
         "cell": pl.BlockSpec((ipc, t, d), lambda i: (i, 0, 0)),
+        # 96 MB floor: at D>=1024 the 64 MB floor makes the relay's compile
+        # helper fail (opaque HTTP 500 — probed round 4: the identical
+        # kernel compiles at 80 MB and fails at 64).
         "params_attn": pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=min(max(64 << 20, 3 * wb_attn + (24 << 20)),
+            vmem_limit_bytes=min(max(96 << 20, 3 * wb_attn + (24 << 20)),
                                  110 << 20)),
         "params_mlp": pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
@@ -1040,7 +1043,8 @@ def fused_bwd_stage_mlp_light(x2: jax.Array, dout: jax.Array, lp,
     small_keys = ("ln2_w", "ln2_b", "fc1_b", "fc2_b")
     params_light = pltpu.CompilerParams(
         dimension_semantics=("arbitrary",),
-        vmem_limit_bytes=min(c["wb_mlp"] + (48 << 20), 110 << 20),
+        vmem_limit_bytes=min(max(96 << 20, c["wb_mlp"] + (48 << 20)),
+                             110 << 20),
     )
     light_outs = pl.pallas_call(
         functools.partial(_mlp_light_bwd_kernel, eps=config.eps,

@@ -194,37 +194,45 @@ def make_split_train_step(
     # The relay's compile helper crashes on the COMBINED per-layer fused
     # backward at D>=1024 while every stage compiles standalone
     # (scripts/probe_fused_bwd.py round 4); these programs each hold
-    # exactly one Pallas kernel.
+    # exactly one Pallas kernel. The layer slice runs as its OWN tiny XLA
+    # program: a dynamic_index_in_dim feeding Pallas operands inside the
+    # same program is itself a helper-crash trigger at D>=1024 (probed:
+    # identical kernels compile with concrete operands and 500 with
+    # sliced ones), and concrete buffers are what the probes validated.
     mlp_chunks = (fused_block._pick_mlp_chunks(
         config.embed_dim, config.hidden_dim,
         jnp.dtype(compute_dtype).itemsize)
         if backward == "fused_staged" else None)
 
     @jax.jit
-    def bwd_x2(x, layers, g):
+    def slice_layer(layers, g):
+        return _slice_layer(layers, g)
+
+    @jax.jit
+    def bwd_x2(x, lp):
         return fused_block.fused_bwd_stage_x2(
-            x, _slice_layer(layers, g), config, images_per_cell=ipc)
+            x, lp, config, images_per_cell=ipc)
 
     @jax.jit
-    def bwd_mlp_mono(x2, dy, layers, g):
+    def bwd_mlp_mono(x2, dy, lp):
         return fused_block.fused_bwd_stage_mlp_mono(
-            x2, dy, _slice_layer(layers, g), config, images_per_cell=ipc)
+            x2, dy, lp, config, images_per_cell=ipc)
 
     @jax.jit
-    def bwd_mlp_light(x2, dy, layers, g):
+    def bwd_mlp_light(x2, dy, lp):
         return fused_block.fused_bwd_stage_mlp_light(
-            x2, dy, _slice_layer(layers, g), config, images_per_cell=ipc)
+            x2, dy, lp, config, images_per_cell=ipc)
 
     @jax.jit
-    def bwd_mlp_wgrad(x2, dy, hid_s, dhp_s, layers, g):
+    def bwd_mlp_wgrad(x2, dy, hid_s, dhp_s, lp):
         return fused_block.fused_bwd_stage_mlp_wgrad(
-            x2, dy, hid_s, dhp_s, _slice_layer(layers, g), config,
+            x2, dy, hid_s, dhp_s, lp, config,
             images_per_cell=ipc, mlp_chunks=mlp_chunks)
 
     @jax.jit
-    def bwd_attn(x, dx2, layers, g):
+    def bwd_attn(x, dx2, lp):
         return fused_block.fused_bwd_stage_attn(
-            x, dx2, _slice_layer(layers, g), config, images_per_cell=ipc)
+            x, dx2, lp, config, images_per_cell=ipc)
 
     @functools.partial(jax.jit, donate_argnums=(1,))
     def scatter(dlp_raw, acc, g):
@@ -236,14 +244,15 @@ def make_split_train_step(
             acc, dlp_raw)
 
     def staged_layer_bwd(x_in, dy, layers, g, acc):
-        x2 = bwd_x2(x_in, layers, g)
+        lp = slice_layer(layers, g)
+        x2 = bwd_x2(x_in, lp)
         if mlp_chunks == 1:
-            dx2, mlp_g = bwd_mlp_mono(x2, dy, layers, g)
+            dx2, mlp_g = bwd_mlp_mono(x2, dy, lp)
         else:
-            dx2, hid_s, dhp_s, mlp_g = bwd_mlp_light(x2, dy, layers, g)
-            wg = bwd_mlp_wgrad(x2, dy, hid_s, dhp_s, layers, g)
+            dx2, hid_s, dhp_s, mlp_g = bwd_mlp_light(x2, dy, lp)
+            wg = bwd_mlp_wgrad(x2, dy, hid_s, dhp_s, lp)
             mlp_g = dict(mlp_g, fc1_w=wg[0], fc2_w=wg[1])
-        dy, attn_g = bwd_attn(x_in, dx2, layers, g)
+        dy, attn_g = bwd_attn(x_in, dx2, lp)
         return dy, scatter({**mlp_g, **attn_g}, acc, g)
 
     @jax.jit
@@ -305,4 +314,15 @@ def make_split_train_step(
         "head_fwd_bwd": head_fwd_bwd, "grp_bwd": grp_bwd,
         "stem_bwd": stem_bwd, "update": update,
     }
+    if backward == "fused_staged":
+        del step.programs["grp_bwd"]
+        step.programs.update({
+            "slice_layer": slice_layer,
+            "bwd_x2": bwd_x2,
+            ("bwd_mlp_mono" if mlp_chunks == 1 else "bwd_mlp_light"):
+                bwd_mlp_mono if mlp_chunks == 1 else bwd_mlp_light,
+            "bwd_attn": bwd_attn, "scatter": scatter,
+        })
+        if mlp_chunks != 1:
+            step.programs["bwd_mlp_wgrad"] = bwd_mlp_wgrad
     return step
