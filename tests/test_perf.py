@@ -441,6 +441,40 @@ def test_tune_and_save_points_accumulates(tmp_path):
                                timer=fake_timer, points=0)
 
 
+def test_sweep_write_through_survives_kill(tmp_path):
+    """Every measured point is flushed to the cache IMMEDIATELY (round 4):
+    a run killed mid-sweep (timeout on a big-config compile) must lose
+    nothing already measured — simulated by a timer that dies on the
+    second candidate."""
+    from vit_with_opencl_tpu.perf import autotune
+
+    path = tmp_path / "tuning.json"
+    calls = []
+
+    def dying_timer(fn, args, iters):
+        calls.append(1)
+        if len(calls) >= 2:
+            raise KeyboardInterrupt("killed mid-sweep")
+        return 1.0
+
+    mid = ViTConfig(name="perf_mid_kill", img_size=32, patch_size=8,
+                    embed_dim=512, depth=12, num_heads=8, num_classes=11)
+    with pytest.raises(KeyboardInterrupt):
+        autotune.tune_and_save(mid, 4, dtype=jnp.float32, path=path,
+                               timer=dying_timer, knobs=["attention"])
+    # The first point survived the kill on disk.
+    entry = autotune.lookup(mid, 4, jnp.float32, path=path)
+    assert len(entry["attention_table_ms"]) == 1
+    assert "attention_ipc" not in entry  # no half-swept winner
+
+    # A resumed run skips the persisted point.
+    r = autotune.tune_and_save(mid, 4, dtype=jnp.float32, path=path,
+                               timer=lambda fn, args, iters: 1.0,
+                               knobs=["attention"])
+    assert len(r["attention_table_ms"]) == 3  # 1 persisted + 2 new
+    assert "attention_ipc" in r
+
+
 def test_points_budget_spans_knobs(tmp_path):
     """The points budget is shared across knobs in one invocation: attention
     (3 candidates) exhausts a budget of 4 after ragged's first candidate."""

@@ -52,6 +52,7 @@ def sweep(
     timer: Optional[Callable] = None,
     prior: Optional[Dict] = None,
     budget: Optional[list] = None,
+    on_point: Optional[Callable[[Dict], None]] = None,
 ) -> Tuple[object, Dict]:
     """Time ``build(candidate)`` for each candidate; return (best, table).
 
@@ -63,7 +64,10 @@ def sweep(
     one-element list counting remaining NEW measurements this invocation may
     take (shared across knobs by ``tune_and_save --points``); when it runs
     out mid-sweep, the partial table is returned with best=None so repeated
-    short windows accumulate toward a complete sweep.
+    short windows accumulate toward a complete sweep. ``on_point``: called
+    with the table after EVERY new measurement — tune_and_save uses it to
+    write through to the cache so a killed run (timeout on a big-config
+    compile, round 4) loses nothing already measured.
     """
     timer = timer or time_fn
     candidates = list(candidates)
@@ -82,6 +86,8 @@ def sweep(
             table[cand] = timer(fn, args, iters)
         except Exception:  # noqa: BLE001 — OOM/compile failures expected
             table[cand] = float("inf")
+        if on_point is not None:
+            on_point(table)
     best = min(table, key=table.get)
     if table[best] == float("inf"):
         raise RuntimeError(f"every candidate failed: {table}")
@@ -99,6 +105,7 @@ def tune_attention_ipc(
     qkv: Optional[jax.Array] = None,
     prior: Optional[Dict] = None,
     budget: Optional[list] = None,
+    on_point: Optional[Callable[[Dict], None]] = None,
 ) -> Tuple[int, Dict[int, float]]:
     """Sweep images-per-cell for the packed attention kernel on this device."""
     from ..ops.attention import packed_fused_attention
@@ -118,7 +125,7 @@ def tune_attention_ipc(
 
     valid = [c for c in candidates if batch % c == 0]
     return sweep(valid, build, (qkv,), iters=iters, timer=timer,
-                 prior=prior, budget=budget)
+                 prior=prior, budget=budget, on_point=on_point)
 
 
 def tune_fused_block_ipc(
@@ -132,6 +139,7 @@ def tune_fused_block_ipc(
     quant: Optional[str] = None,
     prior: Optional[Dict] = None,
     budget: Optional[list] = None,
+    on_point: Optional[Callable[[Dict], None]] = None,
 ) -> Tuple[int, Dict[int, float]]:
     """Sweep images-per-cell for the whole-layer fused block on this device.
 
@@ -167,7 +175,7 @@ def tune_fused_block_ipc(
 
     valid = [c for c in candidates if batch % c == 0]
     return sweep(valid, build, (x, lp), iters=iters, timer=timer,
-                 prior=prior, budget=budget)
+                 prior=prior, budget=budget, on_point=on_point)
 
 
 def tune_fused_stack_ipc(
@@ -181,6 +189,7 @@ def tune_fused_stack_ipc(
     quant: Optional[str] = None,
     prior: Optional[Dict] = None,
     budget: Optional[list] = None,
+    on_point: Optional[Callable[[Dict], None]] = None,
 ) -> Tuple[int, Dict[int, float]]:
     """Sweep images-per-cell for the whole-ENCODER stack kernel — the
     production path for configs passing supports_stack. Separate from the
@@ -213,7 +222,8 @@ def tune_fused_stack_ipc(
 
     valid = [c for c in candidates if batch % c == 0]
     return sweep(valid, build, (x, params["layers"]), iters=iters,
-                 timer=timer, prior=prior, budget=budget)
+                 timer=timer, prior=prior, budget=budget,
+                 on_point=on_point)
 
 
 def tune_ragged_route(
@@ -225,6 +235,7 @@ def tune_ragged_route(
     timer: Optional[Callable] = None,
     prior: Optional[Dict] = None,
     budget: Optional[list] = None,
+    on_point: Optional[Callable[[Dict], None]] = None,
 ) -> Tuple[bool, Dict[bool, float]]:
     """Measure ragged (unpadded) vs padded packed-attention blocks for this
     exact (config, batch) instead of trusting the 2 MB knee heuristic
@@ -245,7 +256,7 @@ def tune_ragged_route(
         ))
 
     return sweep([True, False], build, (qkv,), iters=iters, timer=timer,
-                 prior=prior, budget=budget)
+                 prior=prior, budget=budget, on_point=on_point)
 
 
 def tune_blockwise_blocks(
@@ -262,6 +273,7 @@ def tune_blockwise_blocks(
     timer: Optional[Callable] = None,
     prior: Optional[Dict] = None,
     budget: Optional[list] = None,
+    on_point: Optional[Callable[[Dict], None]] = None,
 ) -> Tuple[Tuple[int, int], Dict]:
     """Sweep (block_q, block_k) for the long-sequence blockwise flash
     forward at a given sequence length — the knobs round 2 shipped as
@@ -298,7 +310,7 @@ def tune_blockwise_blocks(
     valid = [c for c in candidates
              if c[0] <= seq_len and c[1] <= seq_len]
     return sweep(valid, build, (), iters=iters, timer=timer,
-                 prior=prior, budget=budget)
+                 prior=prior, budget=budget, on_point=on_point)
 
 
 def tune_fused_linear_blocks(
@@ -479,6 +491,17 @@ def tune_and_save(
     def left() -> bool:
         return budget is None or budget[0] > 0
 
+    def writer(table_key):
+        """Write-through persistence: flush the partial table to the cache
+        after EVERY measured point, so a killed run (big-config compiles
+        can exceed any safe timeout on the relay) loses nothing."""
+        def on_point(table):
+            result[table_key] = {str(k): v for k, v in table.items()}
+            os.makedirs(os.path.dirname(str(path)) or ".", exist_ok=True)
+            save_tuning(path, tuning_key(config, batch, dtype, quant),
+                        result)
+        return on_point
+
     # Stack-class configs never execute packed attention in production (the
     # whole encoder is one launch), so BOTH packed-attention sweeps would be
     # wasted relay compiles there; per-layer-class configs keep them for the
@@ -488,7 +511,7 @@ def tune_and_save(
         attn_ipc, attn_table = tune_attention_ipc(
             config, batch, dtype=dtype, iters=iters, timer=timer,
             prior=_parse_prior_table(result, "attention_table_ms"),
-            budget=budget,
+            budget=budget, on_point=writer("attention_table_ms"),
         )
         if attn_ipc is not None:
             result["attention_ipc"] = int(attn_ipc)
@@ -498,7 +521,7 @@ def tune_and_save(
         ragged, ragged_table = tune_ragged_route(
             config, batch, dtype=dtype, iters=iters, timer=timer,
             prior=_parse_prior_table(result, "attention_ragged_table_ms"),
-            budget=budget,
+            budget=budget, on_point=writer("attention_ragged_table_ms"),
         )
         if ragged is not None:
             result["attention_ragged"] = bool(ragged)
@@ -512,7 +535,7 @@ def tune_and_save(
             batch_heads=min(batch * config.num_heads, 16), dtype=dtype,
             iters=iters, timer=timer,
             prior=_parse_prior_table(result, "blockwise_table_ms"),
-            budget=budget,
+            budget=budget, on_point=writer("blockwise_table_ms"),
         )
         if bqk is not None:
             result["blockwise_block_q"] = int(bqk[0])
@@ -527,7 +550,7 @@ def tune_and_save(
                 config, batch, dtype=dtype, iters=iters, timer=timer,
                 quant=quant,
                 prior=_parse_prior_table(result, "fused_stack_table_ms"),
-                budget=budget,
+                budget=budget, on_point=writer("fused_stack_table_ms"),
             )
             if st_ipc is not None:
                 result["fused_stack_ipc"] = int(st_ipc)
@@ -538,7 +561,7 @@ def tune_and_save(
                 config, batch, dtype=dtype, iters=iters, timer=timer,
                 quant=quant,
                 prior=_parse_prior_table(result, "fused_block_table_ms"),
-                budget=budget,
+                budget=budget, on_point=writer("fused_block_table_ms"),
             )
             if fb_ipc is not None:
                 result["fused_block_ipc"] = int(fb_ipc)
