@@ -416,6 +416,32 @@ def test_fused_block_stage_major_parity():
             np.asarray(base), np.asarray(staged), err_msg=name)
 
 
+def test_fused_block_stage_major_group_parity():
+    """The layer-group kernel (depth>1 per launch) takes the same
+    stage-major path through _block_kernel — parity must hold there too
+    (W8A8, 2-layer groups, 2-image cells)."""
+    from vit_with_opencl_tpu.harness import fixtures
+    from vit_with_opencl_tpu.models import quant
+    from vit_with_opencl_tpu.models import vit as vitmod
+    from vit_with_opencl_tpu.ops import fused_block
+
+    cfg = ViTConfig(name="smg", img_size=32, patch_size=8, embed_dim=64,
+                    depth=4, num_heads=4, num_classes=9)
+    params = fixtures.random_params(cfg, seed=14, scale=0.05)
+    stacked = quant.quantize_stacked_params(
+        vitmod.stack_params(params, cfg, param_dtype=jnp.float32), cfg)
+    x = jnp.asarray(np.random.default_rng(14).normal(
+        0, 0.4, (4, cfg.num_tokens, cfg.embed_dim)).astype(np.float32))
+    grouped = jax.tree.map(
+        lambda a: a.reshape((2, 2) + a.shape[1:]), stacked["layers"])
+    g0 = jax.tree.map(lambda a: a[0], grouped)
+    base = fused_block._group_call(x, g0, cfg, 2, 2, True, w8a8=True,
+                                   stage_major=False)
+    staged = fused_block._group_call(x, g0, cfg, 2, 2, True, w8a8=True,
+                                     stage_major=True)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(staged))
+
+
 def test_fused_block_w8a8_head_dim_104():
     """ViT-G/14's head_dim is 104 (1664/16) — neither 64 nor a power of
     two. The W8A8 fused layer must stay within the comparator gate at that
