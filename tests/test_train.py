@@ -413,3 +413,34 @@ def test_ema_shadow_stays_fp32():
     # Steps at decay 0.9999 still move the fp32 shadow (the bf16-ulp
     # freeze this guards against would leave it bit-identical).
     assert np.abs(after - before).max() > 0
+
+
+def test_trainer_split_step_mode():
+    """attention_impl='split:<backward>[:G]' routes the Trainer through the
+    program-split host-loop step (parallel/split_step) — the path that
+    trains ViT-G on one chip. SGD-only, single-device, loss descends, and
+    device-side mixup composes via the separate prep jit."""
+    images, labels = _dataset(16)
+    mesh1 = spmd.make_mesh(data=1, model=1)
+    tr = Trainer(CFG, mesh=mesh1, lr=5e-2, optimizer="sgd",
+                 compute_dtype=jnp.float32,
+                 attention_impl="split:fused_staged", log_every=0, seed=3)
+    losses = []
+    for _ in range(4):
+        tr.fit(data_mod.memory_dataset(images, labels, 16, epochs=1,
+                                       seed=2))
+        losses.append(tr.last_loss)
+    assert losses[-1] < losses[0], losses
+
+    # Mixup composes (separate prep jit, int labels in).
+    trm = Trainer(CFG, mesh=mesh1, lr=1e-2, optimizer="sgd",
+                  compute_dtype=jnp.float32, attention_impl="split:flash:2",
+                  mixup={"prob": 1.0}, log_every=0, seed=4)
+    trm.fit(data_mod.memory_dataset(images, labels, 16, epochs=1, seed=5))
+    assert np.isfinite(trm.last_loss)
+
+    with pytest.raises(ValueError, match="stateless SGD"):
+        Trainer(CFG, mesh=mesh1, optimizer="adamw",
+                attention_impl="split:flash")
+    with pytest.raises(ValueError, match="single-device"):
+        Trainer(CFG, optimizer="sgd", attention_impl="split:flash")

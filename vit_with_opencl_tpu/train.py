@@ -60,6 +60,10 @@ class Trainer:
     >>> tr = Trainer(cfg, lr=1e-3, optimizer="adamw", attention_impl="fused")
     >>> params = tr.fit(batches, steps=1000)
 
+    ``attention_impl="split:<backward>[:G]"`` (backward ∈ fused /
+    fused_staged / flash) selects the program-split host-loop step for
+    compile-limited targets — the single-chip ViT-G route.
+
     ``batches`` is any iterable of host ``(images, labels)`` pairs (see
     :func:`data.memory_dataset`); the trainer prefetches them onto the mesh
     with the batch axis sharded over "data".
@@ -122,12 +126,38 @@ class Trainer:
             else:
                 raise ValueError(f"unknown schedule {schedule!r}")
 
-        made = spmd.make_train_step(
-            config, self.mesh, lr=lr, compute_dtype=compute_dtype,
-            optimizer=optimizer, weight_decay=weight_decay,
-            attention_impl=attention_impl, grad_accum=grad_accum,
-            grad_clip_norm=grad_clip_norm, label_smoothing=label_smoothing,
-        )
+        self._split_mode = attention_impl.startswith("split:")
+        if self._split_mode:
+            # "split:<backward>[:<layers_per_program>]" — the program-split
+            # host-loop step (parallel/split_step): per-layer(-stage)
+            # compiled programs for compile-limited targets; the route that
+            # trains ViT-G/14 (1.84B) on one chip. Stateless-SGD only, and
+            # single-device (its programs carry no GSPMD shardings).
+            from .parallel import split_step as split_mod
+
+            if optimizer != "sgd" or grad_accum != 1:
+                raise ValueError(
+                    "split-step training is the stateless SGD path: "
+                    "optimizer='sgd', grad_accum=1")
+            if self.mesh.devices.size != 1:
+                raise ValueError(
+                    "split-step training is single-device; use "
+                    "attention_impl='flash'/'fused' on a multi-chip mesh")
+            parts = attention_impl.split(":")
+            made = split_mod.make_split_train_step(
+                config, lr=lr, compute_dtype=compute_dtype,
+                layers_per_program=int(parts[2]) if len(parts) > 2 else 1,
+                label_smoothing=label_smoothing,
+                grad_clip_norm=grad_clip_norm, backward=parts[1],
+            )
+        else:
+            made = spmd.make_train_step(
+                config, self.mesh, lr=lr, compute_dtype=compute_dtype,
+                optimizer=optimizer, weight_decay=weight_decay,
+                attention_impl=attention_impl, grad_accum=grad_accum,
+                grad_clip_norm=grad_clip_norm,
+                label_smoothing=label_smoothing,
+            )
         if optimizer == "sgd":
             self._init_opt, self._step = None, made
         else:
@@ -148,7 +178,19 @@ class Trainer:
             nc = config.num_classes
             inner = self._step
 
-            if self._init_opt is None:
+            if self._split_mode:
+                # The host-loop step is not jittable as a whole; mix in a
+                # separate small jit, then run the split step on the result.
+                @jax.jit
+                def _mix_prep(images, labels, step_i):
+                    k = jax.random.fold_in(base_key, step_i)
+                    return augment_mod.device_mixup_cutmix(
+                        k, images, labels, nc, **mix_kw)
+
+                def _mix_step(params, images, labels, step_i):
+                    mixed, soft = _mix_prep(images, labels, step_i)
+                    return inner(params, mixed, soft)
+            elif self._init_opt is None:
 
                 @jax.jit
                 def _mix_step(params, images, labels, step_i):
