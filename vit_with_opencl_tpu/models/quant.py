@@ -610,6 +610,119 @@ def calibrate_w8a8(
     return quantize_stacked_params_outlier(permuted, config, plan)
 
 
+# --- device-side (jit) twins of the outlier transform -----------------------
+#
+# ``apply_outlier_plan``/``quantize_stacked_params_outlier`` are host-numpy:
+# fine for real checkpoints (already on host), ruinous for device-resident
+# params on a tunneled runtime (a ViT-G pytree is ~7 GB; fetching it to host
+# to permute it would take minutes at tunnel bandwidth). These twins run the
+# whole permute+quantize as ONE jit program on device; only the tiny
+# calibration stats ([L, D]-sized) ever cross to host, to build the plan.
+
+
+def apply_outlier_plan_device(params: Dict[str, Any], plan: OutlierPlan,
+                              config: ViTConfig) -> Dict[str, Any]:
+    """jnp twin of :func:`apply_outlier_plan` (call under jit).
+
+    Permutation indices are static numpy (int32 — a few KB to low MB even at
+    ViT-G scale, safe to bake into the program as constants)."""
+    P = np.asarray(plan.perm_d, np.int32)
+    Ph = np.asarray(plan.perm_h, np.int32)
+    Pv = np.asarray(plan.perm_v, np.int32)
+
+    def f32(a):
+        return a.astype(jnp.float32)
+
+    out = dict(params)
+    out["patch_w"] = params["patch_w"][:, P]
+    out["patch_b"] = f32(params["patch_b"])[P]
+    out["pos_emb"] = f32(params["pos_emb"])[:, P]
+    out["prefix_tokens"] = f32(params["prefix_tokens"])[:, P]
+    out["final_ln_w"] = f32(params["final_ln_w"])[P]
+    out["final_ln_b"] = f32(params["final_ln_b"])[P]
+    if "pre_ln_w" in params:
+        out["pre_ln_w"] = f32(params["pre_ln_w"])[P]
+        out["pre_ln_b"] = f32(params["pre_ln_b"])[P]
+    if "head_w" in params:
+        out["head_w"] = params["head_w"][P, :]
+    if "head_dist_w" in params:
+        out["head_dist_w"] = params["head_dist_w"][P, :]
+
+    d = config.embed_dim
+    lp = dict(params["layers"])
+    for key in ("ln1_w", "ln1_b", "ln2_w", "ln2_b", "out_b", "fc2_b"):
+        lp[key] = f32(lp[key])[:, P]
+    # Big weights permute in their stored dtype (gathers are exact; the
+    # quantizer casts per-tensor later) — halves transient HBM at ViT-G scale.
+    lp["qkv_w"] = lp["qkv_w"][:, P, :]
+    lp["fc1_w"] = lp["fc1_w"][:, P, :]
+    lp["out_w"] = lp["out_w"][:, :, P]
+    lp["fc2_w"] = lp["fc2_w"][:, :, P]
+    lp["fc1_w"] = jnp.take_along_axis(lp["fc1_w"], Ph[:, None, :], axis=2)
+    lp["fc1_b"] = jnp.take_along_axis(f32(lp["fc1_b"]), Ph, axis=1)
+    lp["fc2_w"] = jnp.take_along_axis(lp["fc2_w"], Ph[:, :, None], axis=1)
+    vcols = jnp.take_along_axis(lp["qkv_w"][:, :, 2 * d:], Pv[:, None, :],
+                                axis=2)
+    lp["qkv_w"] = jnp.concatenate([lp["qkv_w"][:, :, :2 * d], vcols], axis=2)
+    qkv_b = f32(lp["qkv_b"])
+    lp["qkv_b"] = jnp.concatenate(
+        [qkv_b[:, :2 * d], jnp.take_along_axis(qkv_b[:, 2 * d:], Pv, axis=1)],
+        axis=1)
+    lp["out_w"] = jnp.take_along_axis(lp["out_w"], Pv[:, :, None], axis=1)
+    out["layers"] = lp
+    return out
+
+
+def _split_weight_device(w: jax.Array, k: int) -> Dict[str, jax.Array]:
+    wf = w.astype(jnp.float32)
+    lo = quantize_weight_device(wf[..., :-k, :] if k else wf)
+    lo["hi"] = wf[..., wf.shape[-2] - k:, :].astype(jnp.bfloat16)
+    return lo
+
+
+def _masked_weight_device(w: jax.Array, mask: np.ndarray) -> Dict[str, jax.Array]:
+    wf = w.astype(jnp.float32)
+    keep = jnp.asarray(~mask, jnp.float32)[:, None]
+    out = quantize_weight_device(wf * keep)
+    out["hi"] = wf[..., np.where(mask)[0], :].astype(jnp.bfloat16)
+    return out
+
+
+def quantize_stacked_params_outlier_device(
+    params: Dict[str, Any], config: ViTConfig, plan: OutlierPlan
+) -> Dict[str, Any]:
+    """jnp twin of :func:`quantize_stacked_params_outlier` (call under jit)."""
+    out = dict(params)
+    for key in _TOP_MATMUL_KEYS:
+        if key in out:
+            out[key] = quantize_weight_device(out[key])
+    layers = dict(params["layers"])
+    layers["qkv_w"] = _split_weight_device(layers["qkv_w"], plan.k_d)
+    layers["fc1_w"] = _split_weight_device(layers["fc1_w"], plan.k_d)
+    layers["fc2_w"] = _split_weight_device(layers["fc2_w"], plan.k_h)
+    layers["out_w"] = _masked_weight_device(
+        layers["out_w"], _tail_mask(config, plan.kh))
+    out["layers"] = layers
+    return out
+
+
+def calibrate_w8a8_device(
+    images,
+    params: Dict[str, Any],
+    config: ViTConfig,
+    **plan_kw,
+) -> Dict[str, Any]:
+    """Device-resident twin of :func:`calibrate_w8a8`: the calibration
+    forward and the permute+quantize both run on device; only the [L, D]-
+    sized stats come to host (to argsort the plan). Returns a device pytree
+    in the same layout :func:`quantize_stacked_params_outlier` produces."""
+    stats = collect_act_stats(images, params, config)
+    plan = plan_outliers(stats, config, **plan_kw)
+    fn = jax.jit(lambda p: quantize_stacked_params_outlier_device(
+        apply_outlier_plan_device(p, plan, config), config, plan))
+    return fn(params)
+
+
 def matmul_q(x: jax.Array, w: Any, b: Any, compute_dtype=None) -> jax.Array:
     """Quantization-aware matmul: transparently handles fp and int8 weights.
 
