@@ -52,7 +52,11 @@ def main(argv=None) -> int:
                         help="comma list: golden,tpu")
     parser.add_argument("--quantize", default="none",
                         help="comma list applied to the tpu backend: "
-                        "none,int8,int8-w8a8,auto")
+                        "none,int8,int8-w8a8,int8-w8a8-outlier,auto "
+                        "(the outlier entry runs w8a8 with --calibrate on "
+                        "the input images — the accuracy-defensible mode "
+                        "for REAL trained weights, whose outlier channels "
+                        "break plain per-token W8A8)")
     parser.add_argument("--workdir", default=None,
                         help="where to put the exported Network dir and "
                         "result files (default: a temp dir)")
@@ -91,7 +95,12 @@ def main(argv=None) -> int:
                 "--output", out, "--answer", args.answer,
                 "--backend", backend, "--config", args.config,
             ]
-            if quant != "none":
+            if quant == "int8-w8a8-outlier":
+                # calibrated outlier-aware W8A8: calibrate on the run's own
+                # input images (the reference workload IS the distribution).
+                cli_args += ["--quantize", "int8-w8a8",
+                             "--calibrate", args.input]
+            elif quant != "none":
                 cli_args += ["--quantize", quant]
             print(f"--- {tag}: vit-tpu {' '.join(cli_args)}")
             rc = cli.main(cli_args)

@@ -63,6 +63,28 @@ def test_cli_golden_backend_matches_answer(workspace, monkeypatch):
     ) == 0
 
 
+def test_cli_tpu_backend_calibrated_w8a8(workspace, monkeypatch):
+    """--calibrate wires outlier-aware W8A8 through the CLI (VERDICT r4 #1):
+    quantize defaults to w8a8, the calibration binary feeds
+    quant.calibrate_w8a8, and the result stays inside the comparator gate."""
+    _patched_presets(monkeypatch)
+    binfmt.save_image_data(
+        workspace / "calib.bin", fixtures.random_images(CFG, n=4, seed=21))
+    rc = cli.main(
+        [
+            "--input", str(workspace / "input.bin"),
+            "--weights", str(workspace / "Network"),
+            "--output", str(workspace / "result_cal.txt"),
+            "--answer", str(workspace / "answer.txt"),
+            "--backend", "tpu",
+            "--config", "e2e_small",
+            "--calibrate", str(workspace / "calib.bin"),
+            "--batch-size", "4",
+        ]
+    )
+    assert rc == 0  # comparator green (0.01 gate) under calibrated W8A8
+
+
 def test_weight_rounding_affects_results(workspace, monkeypatch):
     """The 6-decimal rounding is part of observed behavior; loading without it
     must produce (slightly) different probabilities."""

@@ -282,6 +282,9 @@ def test_real_weight_parity_drill_end_to_end(tmp_path):
         "--input", str(tmp_path / "input.bin"),
         "--answer", str(tmp_path / "answer.txt"),
         "--backends", "golden,tpu",
+        # exercise the calibrated outlier-aware mode end to end too (the
+        # mode real trained weights will need; it calibrates on --input)
+        "--quantize", "none,int8-w8a8-outlier",
         "--workdir", str(tmp_path / "work"),
     ])
     assert rc == 0

@@ -124,6 +124,13 @@ def test_quantize_auto_resolution():
     # explicit modes pass through untouched
     assert resolve_quantize("int8", get_config("vit_tiny_16_224")) == "int8"
     assert resolve_quantize(None, get_config("vit_b_16_224")) is None
+    # calibration images supplied = the user wants the accuracy-defensible
+    # quantized mode: 'auto' picks w8a8 (upgraded to outlier-aware by the
+    # engine) even for stack-class configs.
+    assert resolve_quantize("auto", get_config("vit_tiny_16_224"),
+                            calibrated=True) == "int8-w8a8"
+    assert resolve_quantize(None, get_config("vit_tiny_16_224"),
+                            calibrated=True) is None
 
 
 def test_engine_quantize_auto_small_model_stays_bf16():

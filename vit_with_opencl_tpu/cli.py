@@ -24,7 +24,7 @@ from .io.labels import IMAGENET_LABELS
 
 def _run_backend(backend: str, images: np.ndarray, params, cfg,
                  batch_size: int, attention: str = "xla",
-                 quantize=None) -> np.ndarray:
+                 quantize=None, calibrate=None) -> np.ndarray:
     if backend == "golden":
         from .models import golden
 
@@ -35,7 +35,7 @@ def _run_backend(backend: str, images: np.ndarray, params, cfg,
         enable_compilation_cache()
         engine = InferenceEngine(
             cfg, params, batch_size=batch_size, attention_impl=attention,
-            quantize=quantize,
+            quantize=quantize, calibrate=calibrate,
         )
         return engine.run(images)
     else:
@@ -71,6 +71,15 @@ def main(argv=None) -> int:
                         help="int8 quantization for the tpu backend: weight-"
                         "only (bf16 MXU) or w8a8 (dynamic int8 activations "
                         "on the double-rate int8 MXU path)")
+    parser.add_argument("--calibrate", default=None, metavar="IMAGES.BIN",
+                        help="calibration images (packed input binary) for "
+                        "outlier-aware W8A8: calibrates per-channel "
+                        "activation statistics and keeps the hot channels "
+                        "in bf16 (exact) — the accuracy-defensible "
+                        "quantized mode for trained checkpoints (plain "
+                        "per-token W8A8 can break the 0.01 comparator gate "
+                        "on outlier-heavy weights). Implies w8a8 when "
+                        "--quantize is auto/unset")
     parser.add_argument("--no-round-weights", action="store_true",
                         help="skip the reference's 6-decimal weight rounding")
     parser.add_argument("--print-labels", action="store_true",
@@ -115,10 +124,21 @@ def main(argv=None) -> int:
     print(f"loaded {images.shape[0]} images + {len(weights)} weights "
           f"in {t_load:.2f}s ({'libvitio' if nio else 'numpy'} io)")
 
+    calibrate = None
+    if args.calibrate:
+        if args.backend != "tpu":
+            raise SystemExit("--calibrate only applies to the tpu backend")
+        if args.quantize in (None, "auto"):
+            args.quantize = "int8-w8a8"
+        calibrate = (nio.load_images(args.calibrate) if nio is not None
+                     else binfmt.load_image_data(args.calibrate))
+        print(f"calibration set: {calibrate.shape[0]} images "
+              f"({args.calibrate})")
+
     print("=====================Start========================")
     t0 = time.perf_counter()
     probs = _run_backend(args.backend, images, params, cfg, args.batch_size,
-                         args.attention, args.quantize)
+                         args.attention, args.quantize, calibrate)
     elapsed = time.perf_counter() - t0
     n = images.shape[0]
     print(f"Elapsed time: {elapsed:.4f} sec ({n / elapsed:.2f} images/sec)")

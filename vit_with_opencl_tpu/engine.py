@@ -52,7 +52,8 @@ def enable_compilation_cache(path: str | None = None) -> None:
         pass  # cache is an optimization; never fail startup over it
 
 
-def resolve_quantize(quantize: Optional[str], config: ViTConfig) -> Optional[str]:
+def resolve_quantize(quantize: Optional[str], config: ViTConfig,
+                     *, calibrated: bool = False) -> Optional[str]:
     """Resolve the ``"auto"`` quantize mode to a concrete one.
 
     Measured policy (BENCH.md round 3): W8A8 wins +37–45% wherever the
@@ -61,9 +62,17 @@ def resolve_quantize(quantize: Optional[str], config: ViTConfig) -> Optional[str
     the double-rate int8 MXU buys nothing and the per-token quantize only
     adds VPU work). "auto" therefore picks int8-w8a8 exactly when the
     config's bf16 production path is NOT the whole-encoder stack kernel.
+
+    ``calibrated``: the caller supplied calibration images — the user is
+    asking for the accuracy-defensible quantized mode, so "auto" picks
+    int8-w8a8 (which the engine upgrades to the calibrated outlier-aware
+    transform) even for the stack-class configs, where the outlier path
+    routes per-layer.
     """
     if quantize != "auto":
         return quantize
+    if calibrated:
+        return "int8-w8a8"
     from .ops import fused_block
 
     if fused_block.supports_stack(config, dtype_bytes=2):
@@ -105,7 +114,8 @@ class InferenceEngine:
         self.batch_size = int(batch_size)
         self.compute_dtype = compute_dtype
         self.device = device if device is not None else jax.devices()[0]
-        quantize = resolve_quantize(quantize, config)
+        quantize = resolve_quantize(quantize, config,
+                                    calibrated=calibrate is not None)
         self.quantize = quantize
         t0 = time.perf_counter()
         params = vit.stack_params(named_params, config, param_dtype=param_dtype)
@@ -258,6 +268,7 @@ class DataParallelEngine:
         quantize: Optional[str] = None,
         normalize_uint8: bool = False,
         tuning_path: Optional[str] = None,
+        calibrate: Optional[np.ndarray] = None,
     ):
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -272,7 +283,8 @@ class DataParallelEngine:
                 f"global batch {batch_size} not divisible by "
                 f"{self.n_devices} devices"
             )
-        quantize = resolve_quantize(quantize, config)
+        quantize = resolve_quantize(quantize, config,
+                                    calibrated=calibrate is not None)
         self.quantize = quantize
         t0 = time.perf_counter()
         self.mesh = spmd.make_mesh(data=self.n_devices, model=1,
@@ -281,7 +293,18 @@ class DataParallelEngine:
         if quantize in ("int8", "int8-w8a8"):
             from .models import quant
 
-            params = quant.quantize_stacked_params(params, config)
+            if calibrate is not None and quantize == "int8-w8a8":
+                # Outlier-aware W8A8 (same transform as the single-device
+                # engine); the result replicates over the mesh like any
+                # other param pytree.
+                params = quant.calibrate_w8a8(
+                    np.asarray(calibrate, np.float32), params, config)
+            else:
+                params = quant.quantize_stacked_params(params, config)
+        elif calibrate is not None:
+            raise ValueError(
+                "calibrate= images are only meaningful with "
+                "quantize='int8-w8a8' (outlier-aware activation quantization)")
         elif quantize is not None:
             raise ValueError(f"unknown quantize mode {quantize!r}")
         replicated = NamedSharding(self.mesh, P())

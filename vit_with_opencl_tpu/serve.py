@@ -305,6 +305,11 @@ def main(argv=None) -> int:
     parser.add_argument("--quantize",
                         choices=["int8", "int8-w8a8", "auto"],
                         default=None)
+    parser.add_argument("--calibrate", default=None, metavar="IMAGES.BIN",
+                        help="calibration images (packed input binary) for "
+                        "outlier-aware W8A8 — the accuracy-defensible "
+                        "quantized serving mode; implies w8a8 when "
+                        "--quantize is auto/unset")
     parser.add_argument("--max-wait-ms", type=float, default=5.0)
     parser.add_argument("--uint8", action="store_true",
                         help="accept raw uint8 pixels and normalize on device "
@@ -325,19 +330,27 @@ def main(argv=None) -> int:
     )
     import jax
 
+    calibrate = None
+    if args.calibrate:
+        if args.quantize in (None, "auto"):
+            args.quantize = "int8-w8a8"
+        calibrate = binfmt.load_image_data(args.calibrate)
+        print(f"calibration set: {calibrate.shape[0]} images "
+              f"({args.calibrate})")
+
     n_dp = len(jax.devices()) if args.dp == 0 else args.dp
     if n_dp > 1:
         engine = DataParallelEngine(
             cfg, weights, batch_size=args.batch_size,
             devices=jax.devices()[:n_dp],
             attention_impl=args.attention, quantize=args.quantize,
-            normalize_uint8=args.uint8,
+            normalize_uint8=args.uint8, calibrate=calibrate,
         )
     else:
         engine = InferenceEngine(
             cfg, weights, batch_size=args.batch_size,
             attention_impl=args.attention, quantize=args.quantize,
-            normalize_uint8=args.uint8,
+            normalize_uint8=args.uint8, calibrate=calibrate,
         )
     compile_s = engine.warmup()
     server = InferenceServer(engine, args.host, args.port,
