@@ -413,6 +413,156 @@ def test_sp_tp_forward_w8a8(setup):
     assert (got.argmax(-1) == ref.argmax(-1)).all()
 
 
+@pytest.fixture(scope="module")
+def outlier_params(setup):
+    """Calibrated outlier-aware W8A8 dicts for the shared small config."""
+    from vit_with_opencl_tpu.models import quant
+
+    stacked, _, _ = setup
+    calib = fixtures.random_images(CFG, n=8, seed=40)
+    return quant.calibrate_w8a8(calib, stacked, CFG)
+
+
+def test_tp_forward_w8a8_outlier(setup, outlier_params):
+    """TP + calibrated outlier-aware W8A8 (VERDICT r4 #5): the accuracy
+    mode must ride the same multi-chip path plain W8A8 was tested on.
+    qkv/fc1 hi groups shard their out axis; out-proj hi rows shard by head
+    group; fc2 converts to the masked-trailing form whose hot tail lives in
+    the last shard's hidden slice."""
+    stacked, images, ref = setup
+    mesh = spmd.make_mesh(data=2, model=4)
+    params = spmd.shard_params_tp(outlier_params, mesh, CFG)
+    probs = spmd.tp_forward(
+        jnp.asarray(images), params, CFG, mesh, compute_dtype=jnp.float32,
+        w8a8=True,
+    )
+    got = np.asarray(probs)
+    assert np.abs(got - ref).max() < 1e-2  # comparator gate
+    assert (got.argmax(-1) == ref.argmax(-1)).all()
+
+
+def test_sp_tp_forward_w8a8_outlier(setup, outlier_params):
+    """SP x TP + outlier-aware W8A8 — token-sharded activations, same dicts."""
+    stacked, images, ref = setup
+    mesh = spmd.make_mesh(data=2, model=4)
+    params = spmd.shard_params_tp(outlier_params, mesh, CFG)
+    probs = spmd.sp_tp_forward(
+        jnp.asarray(images), params, CFG, mesh, compute_dtype=jnp.float32,
+        w8a8=True,
+    )
+    got = np.asarray(probs)
+    assert np.abs(got - ref).max() < 1e-2
+    assert (got.argmax(-1) == ref.argmax(-1)).all()
+
+
+def test_tp_outlier_requires_w8a8(setup, outlier_params):
+    """Outlier dicts through the TP path without w8a8 must fail loudly, not
+    silently drop the bf16 hi contribution."""
+    stacked, images, _ = setup
+    mesh = spmd.make_mesh(data=2, model=4)
+    params = spmd.shard_params_tp(outlier_params, mesh, CFG)
+    with pytest.raises(ValueError, match="hi"):
+        spmd.tp_forward(
+            jnp.asarray(images), params, CFG, mesh,
+            compute_dtype=jnp.float32, w8a8=False,
+        )
+
+
+def test_tp_outlier_fc2_group_must_fit_shard(setup):
+    """fc2's global trailing outlier group must fit one model shard's hidden
+    slice; a too-wide plan raises a typed error at shard time (not wrong
+    numerics at run time)."""
+    from vit_with_opencl_tpu.models import quant
+
+    stacked, _, _ = setup
+    calib = fixtures.random_images(CFG, n=4, seed=41)
+    # hidden_dim = 256, model axis 4 -> shard slice 64; force k_h = 96.
+    qo = quant.calibrate_w8a8(calib, stacked, CFG, k_h=96)
+    mesh = spmd.make_mesh(data=2, model=4)
+    with pytest.raises(ValueError, match="outlier group"):
+        spmd.shard_params_tp(qo, mesh, CFG)
+
+
+def test_pp_train_step_matches_gspmd(setup):
+    """Pipeline-parallel TRAINING (VERDICT r4 #4): one GPipe-scheduled SGD
+    step must produce the same loss and updated params as the GSPMD step on
+    the same data — the backward schedule is the exact transpose of the
+    staged forward (cotangents rotate S−1→0 through the ring)."""
+    from vit_with_opencl_tpu.parallel import pipeline
+
+    stacked, images, _ = setup
+    labels = np.arange(8) % CFG.num_classes
+
+    # Reference: plain GSPMD SGD step on a trivial mesh.
+    ref_mesh = spmd.make_mesh(data=1, model=1)
+    ref_step = spmd.make_train_step(CFG, ref_mesh, lr=1e-2,
+                                    compute_dtype=jnp.float32)
+    ref_params, ref_loss = ref_step(stacked, jnp.asarray(images),
+                                    jnp.asarray(labels))
+
+    pmesh = pipeline.make_pipe_mesh(2)
+    pp_params = pipeline.shard_params_pp(stacked, pmesh, CFG)
+    step = pipeline.pp_train_step(CFG, pmesh, n_microbatches=2, lr=1e-2,
+                                  compute_dtype=jnp.float32)
+    new_params, loss = step(pp_params, jnp.asarray(images),
+                            jnp.asarray(labels))
+    assert abs(float(loss) - float(ref_loss)) < 1e-5
+    for key in ("qkv_w", "fc2_w", "ln1_w"):
+        np.testing.assert_allclose(
+            np.asarray(new_params["layers"][key]),
+            np.asarray(ref_params["layers"][key]), atol=2e-5, rtol=1e-4)
+    for key in ("patch_w", "pos_emb", "head_w", "final_ln_w"):
+        np.testing.assert_allclose(
+            np.asarray(new_params[key]), np.asarray(ref_params[key]),
+            atol=2e-5, rtol=1e-4)
+    # loss must descend over a few steps
+    prev = float(loss)
+    p = new_params
+    for _ in range(2):
+        p, loss = step(p, jnp.asarray(images), jnp.asarray(labels))
+    assert float(loss) < prev
+
+
+def test_pp_train_step_interleaved_and_guards():
+    """Interleaved-schedule (v=2, waves) training parity on a depth-4 config
+    + the layout-mismatch guard."""
+    from vit_with_opencl_tpu.parallel import pipeline
+
+    cfg = ViTConfig(name="pp_train_i", img_size=32, patch_size=8,
+                    embed_dim=64, depth=4, num_heads=4, num_classes=13)
+    named = fixtures.random_params(cfg, seed=17, scale=0.05)
+    images = fixtures.random_images(cfg, n=8, seed=18)
+    labels = np.arange(8) % cfg.num_classes
+    stacked = vit.stack_params(named, cfg, param_dtype=jnp.float32)
+
+    ref_mesh = spmd.make_mesh(data=1, model=1)
+    ref_step = spmd.make_train_step(cfg, ref_mesh, lr=1e-2,
+                                    compute_dtype=jnp.float32)
+    ref_params, ref_loss = ref_step(stacked, jnp.asarray(images),
+                                    jnp.asarray(labels))
+
+    pmesh = pipeline.make_pipe_mesh(2)
+    ppi = pipeline.shard_params_pp(stacked, pmesh, cfg, interleave=2)
+    step = pipeline.pp_train_step(cfg, pmesh, n_microbatches=4, lr=1e-2,
+                                  compute_dtype=jnp.float32, interleave=2)
+    new_params, loss = step(ppi, jnp.asarray(images), jnp.asarray(labels))
+    assert abs(float(loss) - float(ref_loss)) < 1e-5  # M=4 > S: wave path
+    # Updated layer stack matches after undoing the interleave permutation.
+    perm = np.asarray(pipeline._interleave_perm(cfg.depth, 2, 2))
+    got_qkv = np.asarray(new_params["layers"]["qkv_w"])
+    np.testing.assert_allclose(
+        got_qkv, np.asarray(ref_params["layers"]["qkv_w"])[perm],
+        atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(new_params["head_w"]), np.asarray(ref_params["head_w"]),
+        atol=2e-5, rtol=1e-4)
+
+    # Layout guard: v=2 params through a v=1 step must fail loudly.
+    with pytest.raises(ValueError, match="interleave"):
+        pipeline.pp_train_step(cfg, pmesh, n_microbatches=2)(
+            ppi, jnp.asarray(images), jnp.asarray(labels))
+
+
 def test_pipeline_interleaved_matches_golden():
     """Interleaved virtual-stage PP (v=2): same numbers as golden, fewer
     bubble cycles — VERDICT r1 item 8 (stages previously burned full-stage

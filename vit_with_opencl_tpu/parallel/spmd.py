@@ -93,11 +93,17 @@ def to_tp_layout(params: Params, config: ViTConfig) -> Params:
     if quant.is_quantized(qkv_w):
         # int8 weight-only dicts: the per-output-channel scale lives on the
         # same axis as q's out dim — reorder the two together so a model-axis
-        # shard carries matching (q, scale) columns.
-        lp["qkv_w"] = {
-            "q": reorder_out_axis(qkv_w["q"], d),
+        # shard carries matching (q, scale) columns. Outlier-aware dicts
+        # additionally carry a bf16 "hi" block whose out axis reorders the
+        # same way (its ROWS are the k_d outlier input channels, identical
+        # on every shard).
+        new = {
+            "q": reorder_out_axis(qkv_w["q"], qkv_w["q"].shape[1]),
             "scale": reorder_out_axis(qkv_w["scale"], 1),
         }
+        if "hi" in qkv_w:
+            new["hi"] = reorder_out_axis(qkv_w["hi"], qkv_w["hi"].shape[1])
+        lp["qkv_w"] = new
     else:
         lp["qkv_w"] = reorder_out_axis(qkv_w, d)
     qkv_b = lp["qkv_b"].reshape(L, 3, nh, hd).transpose(0, 2, 1, 3)
@@ -107,41 +113,86 @@ def to_tp_layout(params: Params, config: ViTConfig) -> Params:
     return out
 
 
-def _weight_spec(leaf: Any, spec: P) -> Any:
+def _fc2_outlier_to_masked(w: Dict[str, Any], n_model: int) -> Dict[str, Any]:
+    """fc2 outlier dict, split form ({q: [L, H-k, D], hi: [L, k, D]}) →
+    masked-trailing form ({q: [L, H, D] with the last k rows zero, hi
+    unchanged}) so the q rows shard evenly over "model" in alignment with
+    the column-parallel fc1 output slices. Exact: the appended rows are
+    zero, the per-output-channel scale is row-count-invariant.
+
+    The calibrated plan puts every fc2 outlier channel in the GLOBAL
+    trailing group, which lands entirely in the LAST model shard's hidden
+    slice — so k must fit one shard's slice (k <= H/n_model; the default
+    plan width 128 fits any production split).
+    """
+    q = np.asarray(w["q"])
+    k = w["hi"].shape[1]
+    h_total = q.shape[1] + k
+    if h_total % n_model:
+        raise ValueError(
+            f"hidden_dim {h_total} not divisible by model axis {n_model}")
+    if k > h_total // n_model:
+        raise ValueError(
+            f"fc2 outlier group ({k} channels) exceeds one model shard's "
+            f"hidden slice ({h_total // n_model}); re-plan with "
+            f"k_h <= hidden_dim / n_model for TP serving")
+    zeros = np.zeros((q.shape[0], k, q.shape[2]), q.dtype)
+    return {"q": np.concatenate([q, zeros], axis=1),
+            "scale": np.asarray(w["scale"]), "hi": np.asarray(w["hi"])}
+
+
+def _weight_spec(leaf: Any, spec: P, hi_spec: Optional[P] = None) -> Any:
     """Spec for a (possibly int8-quantized) matmul weight leaf.
 
     Column-parallel weights shard their out axis: the per-output-channel
     scale shards with it. Row-parallel weights shard the in axis: the scale
     (out-channel-indexed, and commuting with the psum) stays replicated.
+
+    Outlier-aware dicts carry a bf16 "hi" block: ``hi_spec`` says how it
+    shards (defaults to the q spec for column-parallel weights, where the
+    hi out axis shards with q's).
     """
     from ..models import quant
 
     if not quant.is_quantized(leaf):
         return spec
     out_axis_sharded = len(spec) >= 3 and spec[2] is not None
-    return {
+    d = {
         "q": spec,
         "scale": P(None, None, "model") if out_axis_sharded else P(),
     }
+    if isinstance(leaf, dict) and "hi" in leaf:
+        d["hi"] = hi_spec if hi_spec is not None else spec
+    return d
 
 
 def tp_pspecs(params: Params, config: ViTConfig) -> Params:
     """PartitionSpec tree matching the TP layout: column-parallel QKV/fc1,
-    row-parallel out/fc2, everything else replicated."""
+    row-parallel out/fc2, everything else replicated.
+
+    Outlier-aware hi groups: qkv/fc1 shard hi's OUT axis with q's; out-proj
+    shards hi's per-head-tail ROWS with its head-group row shards; fc2
+    (masked-trailing form, ``_fc2_outlier_to_masked``) replicates hi — it is
+    tiny (k_h x D bf16) and only the last shard's partial consumes it.
+    """
     specs = jax.tree.map(lambda _: P(), params)
     specs["layers"] = dict(specs["layers"])
     lp = params["layers"]
     specs["layers"]["qkv_w"] = _weight_spec(lp["qkv_w"], P(None, None, "model"))
     specs["layers"]["qkv_b"] = P(None, "model")
-    specs["layers"]["out_w"] = _weight_spec(lp["out_w"], P(None, "model", None))
+    specs["layers"]["out_w"] = _weight_spec(lp["out_w"], P(None, "model", None),
+                                            hi_spec=P(None, "model", None))
     specs["layers"]["fc1_w"] = _weight_spec(lp["fc1_w"], P(None, None, "model"))
     specs["layers"]["fc1_b"] = P(None, "model")
-    specs["layers"]["fc2_w"] = _weight_spec(lp["fc2_w"], P(None, "model", None))
+    specs["layers"]["fc2_w"] = _weight_spec(lp["fc2_w"], P(None, "model", None),
+                                            hi_spec=P())
     return specs
 
 
 def shard_params_tp(params: Params, mesh: Mesh, config: ViTConfig) -> Params:
     """Re-layout + place params for tensor parallelism."""
+    from ..models import quant
+
     n_model = mesh.shape["model"]
     if config.num_heads % n_model:
         raise ValueError(
@@ -152,6 +203,12 @@ def shard_params_tp(params: Params, mesh: Mesh, config: ViTConfig) -> Params:
             f"hidden_dim {config.hidden_dim} not divisible by model axis {n_model}"
         )
     tp = to_tp_layout(params, config)
+    fc2 = tp["layers"]["fc2_w"]
+    if quant.is_quantized(fc2) and "hi" in fc2:
+        lp = dict(tp["layers"])
+        lp["fc2_w"] = _fc2_outlier_to_masked(fc2, n_model)
+        tp = dict(tp)
+        tp["layers"] = lp
     specs = tp_pspecs(tp, config)
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), tp, specs
@@ -163,7 +220,9 @@ def shard_params_tp(params: Params, mesh: Mesh, config: ViTConfig) -> Params:
 # ---------------------------------------------------------------------------
 
 
-def _dot_q(x: jax.Array, w: Any, w8a8: bool = False) -> jax.Array:
+def _dot_q(x: jax.Array, w: Any, w8a8: bool = False, *,
+           heads: Optional[tuple] = None,
+           tail_shards: Optional[int] = None) -> jax.Array:
     """x @ w in fp32, transparently handling int8 {q, scale} weights.
 
     Unlike ``quant.matmul_q`` this keeps the fp32 accumulator (no downcast,
@@ -174,10 +233,29 @@ def _dot_q(x: jax.Array, w: Any, w8a8: bool = False) -> jax.Array:
     GEMM int8×int8 on the MXU's double-rate int path (quant.matmul_w8a8
     semantics). Both scales are local to the shard and commute with the
     row-parallel psum, so TP composition needs no extra collectives.
+
+    Outlier-aware dicts (bf16 ``hi`` groups, quantize_stacked_params_outlier)
+    compose per shard — each representation stays shard-local:
+      * split form (q rows < x channels; qkv/fc1): the k_d outlier input
+        rows are replicated, the hi GEMM's out axis shards with q's;
+      * masked per-head form (``heads=(nh_loc, hd)``; out-proj): each
+        shard's head-group rows carry their own zeroed tails + hi rows —
+        the LOCAL per-token absmax (excluding local tails) commutes with
+        the row-parallel psum exactly like the plain-W8A8 scale;
+      * masked trailing form (``tail_shards=n_model``; fc2 via
+        ``_fc2_outlier_to_masked``): every global outlier channel lives in
+        the LAST shard's hidden slice — that shard excludes its tail from
+        the absmax and adds the hi GEMM; other shards quantize plainly.
     """
     from ..models import quant
 
     if quant.is_quantized(w):
+        if isinstance(w, dict) and "hi" in w:
+            if not w8a8:
+                raise ValueError(
+                    "outlier-aware quantized params (bf16 'hi' groups) "
+                    "require w8a8=True — weight-only int8 has no hi path")
+            return _dot_q_outlier(x, w, heads=heads, tail_shards=tail_shards)
         if w8a8:
             xq, sx = quant.quantize_act(x)
             acc = jax.lax.dot_general(
@@ -189,6 +267,68 @@ def _dot_q(x: jax.Array, w: Any, w8a8: bool = False) -> jax.Array:
                       preferred_element_type=jnp.float32)
         return out * w["scale"][..., 0, :]
     return jnp.dot(x, w, preferred_element_type=jnp.float32)
+
+
+def _dot_q_outlier(x: jax.Array, w: Dict[str, jax.Array], *,
+                   heads: Optional[tuple], tail_shards: Optional[int]):
+    """Shard-local outlier-aware W8A8 dot (fp32 accumulator, no bias)."""
+    from ..models import quant
+
+    dn = (((x.ndim - 1,), (0,)), ((), ()))
+    din = x.shape[-1]
+    m = w["q"].shape[0]
+    f32 = jnp.float32
+    if m < din:
+        # split form: trailing outlier input rows run bf16 (qkv/fc1).
+        xq, sx = quant.quantize_act(x[..., :m])
+        acc = jax.lax.dot_general(xq, w["q"], dn,
+                                  preferred_element_type=jnp.int32)
+        hi = jnp.dot(x[..., m:], w["hi"].astype(x.dtype),
+                     preferred_element_type=f32)
+        return acc.astype(f32) * sx * w["scale"][..., 0, :] + hi
+    if heads is not None:
+        # masked per-head form (out-proj): local heads' tails are zero rows
+        # in q AND excluded from the absmax; tails run bf16.
+        nh_loc, hd = heads
+        kh = w["hi"].shape[0] // nh_loc
+        mask = np.zeros(din, bool)
+        for h in range(nh_loc):
+            mask[h * hd + hd - kh:(h + 1) * hd] = True
+        keep = jnp.asarray(~mask, f32)
+        xf = x.astype(f32)
+        absmax = jnp.maximum(jnp.max(jnp.abs(xf) * keep, axis=-1,
+                                     keepdims=True), f32(2.0 ** -93))
+        r = f32(127.0) / absmax
+        xq = jnp.clip(jnp.round(xf * r), -127, 127).astype(jnp.int8)
+        acc = jax.lax.dot_general(xq, w["q"], dn,
+                                  preferred_element_type=jnp.int32)
+        x3 = x.reshape(x.shape[:-1] + (nh_loc, hd))
+        x_hi = x3[..., hd - kh:].reshape(x.shape[:-1] + (nh_loc * kh,))
+        hi = jnp.dot(x_hi, w["hi"].astype(x.dtype),
+                     preferred_element_type=f32)
+        return (acc.astype(f32) * (absmax * f32(1 / 127))
+                * w["scale"][..., 0, :] + hi)
+    if tail_shards is None:
+        raise ValueError(
+            "masked outlier weight needs heads= (out-proj) or tail_shards= "
+            "(fc2) to locate its outlier channels on this shard")
+    # masked trailing form (fc2): the global outlier tail lives entirely in
+    # the LAST shard's slice.
+    k = w["hi"].shape[0]
+    is_last = (jax.lax.axis_index("model") == tail_shards - 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (din,), 0)
+    keep = jnp.where(is_last & (col >= din - k), 0.0, 1.0).astype(f32)
+    xf = x.astype(f32)
+    absmax = jnp.maximum(jnp.max(jnp.abs(xf) * keep, axis=-1, keepdims=True),
+                         f32(2.0 ** -93))
+    r = f32(127.0) / absmax
+    xq = jnp.clip(jnp.round(xf * r), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(xq, w["q"], dn, preferred_element_type=jnp.int32)
+    hi = jnp.dot(x[..., din - k:], w["hi"].astype(x.dtype),
+                 preferred_element_type=f32)
+    hi = hi * jnp.where(is_last, f32(1.0), f32(0.0))
+    return (acc.astype(f32) * (absmax * f32(1 / 127)) * w["scale"][..., 0, :]
+            + hi)
 
 
 def _tp_block(h, lp, config: ViTConfig, n_model: int, kernels,
@@ -214,7 +354,7 @@ def _tp_block(h, lp, config: ViTConfig, n_model: int, kernels,
         qkv = qkv.reshape(b, t, nh_loc, 3, hd).transpose(3, 0, 2, 1, 4)
         ctx = kernels["attention"](qkv[0], qkv[1], qkv[2], config)
         ctx = ctx.transpose(0, 2, 1, 3).reshape(b, t, nh_loc * hd)
-    partial = _dot_q(ctx, lp["out_w"], w8a8)
+    partial = _dot_q(ctx, lp["out_w"], w8a8, heads=(nh_loc, hd))
     attn_out = jax.lax.psum(partial, "model") + lp["out_b"]
     h = h + attn_out.astype(h.dtype)
 
@@ -222,7 +362,7 @@ def _tp_block(h, lp, config: ViTConfig, n_model: int, kernels,
     x = kernels["layer_norm"](h, lp["ln2_w"], lp["ln2_b"], config.eps)
     hid = _dot_q(x, lp["fc1_w"], w8a8)
     hid = vit.gelu_erf((hid + lp["fc1_b"]).astype(h.dtype))
-    partial = _dot_q(hid, lp["fc2_w"], w8a8)
+    partial = _dot_q(hid, lp["fc2_w"], w8a8, tail_shards=n_model)
     mlp_out = jax.lax.psum(partial, "model") + lp["fc2_b"]
     return h + mlp_out.astype(h.dtype), None
 
@@ -492,7 +632,8 @@ def sp_tp_forward(
                 )
             else:
                 ctx = _masked_xla_attention(qkv, b, t_pad, nh_loc, hd, t)
-            partial = _dot_q(ctx, lp["out_w"], w8a8)  # fp32 [B, T_pad, D]
+            partial = _dot_q(ctx, lp["out_w"], w8a8,
+                             heads=(nh_loc, hd))  # fp32 [B, T_pad, D]
             attn = jax.lax.psum_scatter(partial, "model",
                                         scatter_dimension=1, tiled=True)
             h = h + (attn + lp["out_b"]).astype(h.dtype)
@@ -503,7 +644,7 @@ def sp_tp_forward(
             hg = jax.lax.all_gather(hh, "model", axis=1, tiled=True)
             hid = _dot_q(hg, lp["fc1_w"], w8a8)
             hid = vit.gelu_erf((hid + lp["fc1_b"]).astype(h.dtype))
-            partial = _dot_q(hid, lp["fc2_w"], w8a8)
+            partial = _dot_q(hid, lp["fc2_w"], w8a8, tail_shards=n_model)
             mlp = jax.lax.psum_scatter(partial, "model",
                                        scatter_dimension=1, tiled=True)
             return h + (mlp + lp["fc2_b"]).astype(h.dtype), None
