@@ -155,14 +155,34 @@ def _augment_probe(cfg, batch, step_results):
         print(f"augment(mix={mix:6s}): {dt / n_batches * 1e3:8.2f} ms/batch "
               f"({rates[mix]:7.0f} img/s host, 1 producer thread)")
     aug_rate = rates["device"]  # the recommended config: mix on chip
+    cores = os.cpu_count() or 1
     for impl, ms in step_results.items():
         step_rate = batch / ms * 1e3
         margin = aug_rate / step_rate
+        need = int(np.ceil(step_rate / aug_rate))
         verdict = "feeds chip" if margin >= 1.0 else (
-            f"STARVES chip — needs workers="
-            f"{int(np.ceil(step_rate / aug_rate))} producer threads "
-            f"(augmented_dataset(workers=N)) or offline augmentation")
+            f"STARVES chip — needs workers={need} fork-pool producers "
+            f"(augmented_dataset(workers=N)); this host has {cores} core"
+            f"{'s' if cores != 1 else ''}"
+            + ("" if cores >= need else " — UNDER-PROVISIONED: use a"
+               " bigger-host loader or offline augmentation"))
         print(f"  vs {impl:6s}: aug/step rate {margin:5.2f}x  ({verdict})")
+    if cores > 1:
+        # Validate the fork-pool scaling claim where the host can: remeasure
+        # the device-mix pipeline at min(need, cores) workers.
+        w = min(max(int(np.ceil(max(
+            batch / ms * 1e3 for ms in step_results.values()) / aug_rate)),
+            2), cores)
+        it = augment.augmented_dataset(
+            images, labels, batch, cfg.num_classes, img_size=cfg.img_size,
+            epochs=None, seed=0, mix="device", workers=w)
+        next(it)
+        t0 = time.perf_counter()
+        for _ in range(4):
+            next(it)
+        dt = time.perf_counter() - t0
+        print(f"augment(mix=device, workers={w}): {dt / 4 * 1e3:8.2f} "
+              f"ms/batch ({4 * batch / dt:7.0f} img/s)")
 
 
 if __name__ == "__main__":

@@ -415,6 +415,41 @@ def test_ema_shadow_stays_fp32():
     assert np.abs(after - before).max() > 0
 
 
+def test_trainer_device_augment_pipeline():
+    """Trainer(device_augment=...) — the full on-chip DeiT input pipeline:
+    the loader ships RAW uint8 HWC batches (augment_device.raw_batches) and
+    RRC+flip+RandAugment+normalize(+Mixup) fuse into the step's program.
+    Runs on the 8-device mesh (the uint8 batch shards over "data")."""
+    from vit_with_opencl_tpu import augment_device
+
+    rng = np.random.default_rng(9)
+    n, src = 32, 40
+    raw = rng.integers(0, 256, (n, src, src, 3), dtype=np.uint8)
+    labels = (np.arange(n) * 3) % CFG.num_classes
+
+    # augment only (int labels reach the step), then augment + mixup.
+    for mix in (None, {"prob": 1.0}):
+        tr = Trainer(CFG, lr=5e-2, optimizer="sgd",
+                     compute_dtype=jnp.float32,
+                     device_augment={"randaugment": (2, 9.0)},
+                     mixup=mix, log_every=0, seed=6)
+        losses = []
+        for _ in range(3):
+            tr.fit(augment_device.raw_batches(raw, labels, 16, epochs=1,
+                                              seed=7))
+            losses.append(tr.last_loss)
+        assert np.isfinite(losses).all(), (mix, losses)
+        assert losses[-1] < losses[0], (mix, losses)
+
+    # AdamW variant exercises the opt-state prep wrapper.
+    tra = Trainer(CFG, lr=1e-3, optimizer="adamw",
+                  compute_dtype=jnp.float32,
+                  device_augment={}, mixup={"prob": 0.5}, log_every=0,
+                  seed=8)
+    tra.fit(augment_device.raw_batches(raw, labels, 16, epochs=1, seed=1))
+    assert np.isfinite(tra.last_loss)
+
+
 def test_trainer_split_step_mode():
     """attention_impl='split:<backward>[:G]' routes the Trainer through the
     program-split host-loop step (parallel/split_step) — the path that

@@ -508,6 +508,39 @@ def device_mixup_cutmix(
 # ---------------------------------------------------------------------------
 
 
+def _augment_one(im: np.ndarray, img_seed, *, img_size, rrc_scale,
+                 rrc_ratio, hflip, randaugment) -> np.ndarray:
+    """Geometric + RandAugment transforms for ONE image; returns HWC,
+    **pre-normalize** (uint8 when RandAugment ran — 4x less IPC traffic
+    from pool workers than fp32 — else fp32 bilinear output). The caller
+    normalizes the stacked batch in one vectorized op."""
+    r = np.random.default_rng(img_seed)
+    im = random_resized_crop(r, im, img_size, scale=rrc_scale,
+                             ratio=rrc_ratio)
+    im = random_hflip(r, im, hflip)
+    if randaugment is not None:
+        im = rand_augment(r, _to_u8(im), num_ops=randaugment[0],
+                          magnitude=randaugment[1])
+    return im
+
+
+# Fork-based pool plumbing: the dataset is inherited copy-on-write at fork
+# time (initargs are passed in-memory under the fork start method, never
+# pickled); each map task carries only (index, seed) and returns one image.
+_WORKER_STATE: Optional[tuple] = None
+
+
+def _augment_worker_init(images: np.ndarray, aug_kw: dict) -> None:
+    global _WORKER_STATE
+    _WORKER_STATE = (images, aug_kw)
+
+
+def _augment_worker_one(task: tuple) -> np.ndarray:
+    images, aug_kw = _WORKER_STATE
+    i, img_seed = task
+    return _augment_one(images[i], img_seed, **aug_kw)
+
+
 def augmented_dataset(
     images: np.ndarray,
     labels: np.ndarray,
@@ -550,9 +583,16 @@ def augmented_dataset(
     run :func:`device_mixup_cutmix` on chip (``Trainer(mixup=...)``); the
     measured host lerp costs ~2 ms/img, on-device it fuses to ~0.
 
-    ``workers > 1`` spreads the per-image augments over a thread pool
-    (PIL/NumPy release the GIL); results are bit-identical for any worker
-    count because each image draws from its own seeded Generator.
+    ``workers > 1`` spreads the per-image augments over a **fork-based
+    process pool** — the per-image ops (crop geometry, RandAugment's
+    small-array NumPy) are Python/GIL-bound, so threads cannot scale them
+    (measured: 2–8 threads are *slower* than 1 on this pipeline). Fork
+    shares the uint8 dataset copy-on-write (no per-task pickling of the
+    source images); each task ships back one augmented image and the parent
+    normalizes the whole batch in a single vectorized op. Results are
+    bit-identical for any worker count because each image draws from its
+    own seeded Generator. Platforms without ``fork`` fall back to a thread
+    pool (correct, but not faster).
     """
     n = images.shape[0]
     if images.dtype != np.uint8 or images.ndim != 4 or images.shape[-1] != 3:
@@ -567,25 +607,23 @@ def augmented_dataset(
         raise ValueError(f"mix must be 'host' or 'device', got {mix!r}")
     mean_c = mean.reshape(1, 1, 3).astype(np.float32) * 255.0
     inv_std_c = 1.0 / (std.reshape(1, 1, 3).astype(np.float32) * 255.0)
+    aug_kw = dict(img_size=img_size, rrc_scale=rrc_scale,
+                  rrc_ratio=rrc_ratio, hflip=hflip, randaugment=randaugment)
 
-    def one(im: np.ndarray, img_seed: int) -> np.ndarray:
-        r = np.random.default_rng(img_seed)
-        im = random_resized_crop(
-            r, im, img_size, scale=rrc_scale, ratio=rrc_ratio
-        )
-        im = random_hflip(r, im, hflip)
-        if randaugment is not None:
-            im = rand_augment(
-                r, _to_u8(im),
-                num_ops=randaugment[0], magnitude=randaugment[1],
-            ).astype(np.float32)
-        return ((im - mean_c) * inv_std_c).transpose(2, 0, 1)
-
-    pool = None
+    pool = thread_pool = None
     if workers > 1:
-        from concurrent.futures import ThreadPoolExecutor
+        import multiprocessing as mp
 
-        pool = ThreadPoolExecutor(max_workers=workers)
+        if "fork" in mp.get_all_start_methods():
+            # Fork AFTER `images` exists: children inherit the dataset
+            # copy-on-write; tasks carry only (index, seed).
+            pool = mp.get_context("fork").Pool(
+                workers, initializer=_augment_worker_init,
+                initargs=(images, aug_kw))
+        else:  # pragma: no cover — non-fork platform fallback
+            from concurrent.futures import ThreadPoolExecutor
+
+            thread_pool = ThreadPoolExecutor(max_workers=workers)
     try:
         epoch = 0
         while epochs is None or epoch < epochs:
@@ -597,17 +635,24 @@ def augmented_dataset(
             stop = n - batch_size + 1 if drop_last else n
             for lo in range(0, max(stop, 0), batch_size):
                 idx = order[lo : lo + batch_size]
-                batch = np.empty(
-                    (len(idx), 3, img_size, img_size), np.float32
-                )
                 seeds = img_seeds[lo : lo + len(idx)]
                 if pool is not None:
-                    for j, out in enumerate(pool.map(
-                            one, (images[i] for i in idx), seeds)):
-                        batch[j] = out
+                    outs = pool.map(
+                        _augment_worker_one, list(zip(idx, seeds)),
+                        chunksize=max(1, len(idx) // (workers * 2)))
+                elif thread_pool is not None:  # pragma: no cover
+                    outs = list(thread_pool.map(
+                        lambda a: _augment_one(images[a[0]], a[1], **aug_kw),
+                        zip(idx, seeds)))
                 else:
-                    for j, i in enumerate(idx):
-                        batch[j] = one(images[i], seeds[j])
+                    outs = [_augment_one(images[i], s, **aug_kw)
+                            for i, s in zip(idx, seeds)]
+                # One vectorized normalize + NCHW transpose for the whole
+                # batch (measured ~1.1 ms/img when done per image —
+                # elementwise, so bit-identical to the per-image form).
+                hwc = np.stack(outs).astype(np.float32, copy=False)
+                batch = np.ascontiguousarray(
+                    ((hwc - mean_c) * inv_std_c).transpose(0, 3, 1, 2))
                 if mix == "device":
                     yield batch, labels[idx]
                 else:
@@ -619,4 +664,6 @@ def augmented_dataset(
             epoch += 1
     finally:
         if pool is not None:
-            pool.shutdown(wait=False)
+            pool.terminate()
+        if thread_pool is not None:  # pragma: no cover
+            thread_pool.shutdown(wait=False)

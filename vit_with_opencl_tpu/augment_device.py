@@ -1,0 +1,402 @@
+"""Device-side DeiT augmentation — the whole pixel pipeline as ONE jitted
+batched TPU program.
+
+Why this exists: the host pipeline (`augment.augmented_dataset`) costs
+~4 ms/image of GIL-bound NumPy on one producer core (measured, BENCH.md
+round 5); a ViT-B step consumes 1000 img/s and Tiny 6000+, so a TPU-VM
+host needs 4–26 producer cores just to keep the chip fed — and the bench
+host has one. The TPU-native answer is to move the *pixels* work onto the
+chip: the host loader only shuffles indices and ships raw **uint8** HWC
+batches (3× less PCIe/tunnel traffic than fp32), and RandomResizedCrop →
+flip → RandAugment → normalize run as one fused static-shape XLA program
+whose cost is noise next to a training step (elementwise VPU work plus a
+handful of gathers; zero MXU contention).
+
+Semantics mirror the host ops in :mod:`..augment` one-for-one (same
+RandAugment op set, magnitude mapping, PIL blend/quantization rules —
+each device op is unit-tested against its host twin on fixed arguments in
+``tests/test_augment_device.py``), with two documented conventions:
+
+- Random *draws* come from ``jax.random`` instead of NumPy Generators, so
+  a device-augmented stream is not bit-identical to the host stream (the
+  distributions match; parity across worker counts is a host-pipeline
+  concept).
+- Geometric resampling (RRC resize, affine warps) follows the pure-NumPy
+  bilinear convention (``io.preprocess._resize_bilinear_np`` /
+  ``augment._affine``'s NumPy path, align_corners=False), not PIL's
+  half-pixel C sampler that the host prefers for uint8 speed. Reference
+  behavior contract: the reference consumes *pre-augmented* tensors
+  (SURVEY §2.4 — its inputs are offline torchvision preprocessing), so
+  augmentation backends are free as long as train-time statistics match.
+
+The reference project has no training at all; this module is
+beyond-reference capability paired with `augment.device_mixup_cutmix`.
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .io.preprocess import IMAGENET_MEAN, IMAGENET_STD
+
+_GRAY = jnp.asarray([0.299, 0.587, 0.114], jnp.float32)  # PIL L weights
+
+
+def _q8(x: jnp.ndarray) -> jnp.ndarray:
+    """uint8 quantization in float: the device twin of ``augment._to_u8``
+    (every host op rounds through uint8; mirroring it keeps device output
+    within 1 lsb of the host op chain)."""
+    return jnp.clip(jnp.round(x), 0.0, 255.0)
+
+
+def _blend(img: jnp.ndarray, other: jnp.ndarray, factor) -> jnp.ndarray:
+    """PIL ImageEnhance blend: other + factor*(img-other), u8-rounded."""
+    return _q8(other + factor * (img - other))
+
+
+# ---------------------------------------------------------------------------
+# RandAugment op twins (img: f32 HWC in [0,255], already u8-quantized)
+# ---------------------------------------------------------------------------
+
+
+def _autocontrast(img, _v):
+    lo = img.min(axis=(0, 1), keepdims=True)
+    hi = img.max(axis=(0, 1), keepdims=True)
+    scaled = _q8((img - lo) * (255.0 / jnp.maximum(hi - lo, 1.0)))
+    return jnp.where(hi <= lo, img, scaled)
+
+
+def _equalize(img, _v):
+    """PIL ImageOps.equalize per channel: 256-bin histogram (scatter-add)
+    → PIL's step/offset LUT (integer arithmetic) → gather."""
+    def one_channel(ch):
+        idx = ch.astype(jnp.int32).reshape(-1)
+        hist = jnp.zeros((256,), jnp.int32).at[idx].add(1)
+        nz = hist > 0
+        n_nz = nz.sum()
+        # value of the LAST nonzero bin
+        last_nz = hist[jnp.argmax(jnp.where(nz, jnp.arange(256), -1))]
+        step = (hist.sum() - last_nz) // 255
+        lut = jnp.clip(
+            (jnp.cumsum(hist) - hist + step // 2)
+            // jnp.maximum(step, 1), 0, 255).astype(jnp.float32)
+        out = lut[idx].reshape(ch.shape)
+        return jnp.where((n_nz <= 1) | (step == 0), ch, out)
+
+    return jnp.stack([one_channel(img[..., c]) for c in range(3)], axis=-1)
+
+
+def _posterize(img, bits):
+    # host: img & uint8(256 - (1 << (8-b))), b = round(bits), identity b>=8
+    b = jnp.clip(jnp.round(bits).astype(jnp.int32), 0, 8)
+    mask = jnp.bitwise_and(256 - jnp.left_shift(1, 8 - b), 0xFF)
+    out = jnp.bitwise_and(img.astype(jnp.int32), mask).astype(jnp.float32)
+    return jnp.where(b >= 8, img, out)
+
+
+def _solarize(img, threshold):
+    return jnp.where(img >= threshold, 255.0 - img, img)
+
+
+def _brightness(img, factor):
+    return _blend(img, jnp.zeros_like(img), factor)
+
+
+def _contrast(img, factor):
+    gray = img @ _GRAY
+    mean = _q8(gray.mean())
+    return _blend(img, jnp.full_like(img, mean), factor)
+
+
+def _color(img, factor):
+    gray = _q8(img @ _GRAY)[..., None]
+    return _blend(img, jnp.broadcast_to(gray, img.shape), factor)
+
+
+def _sharpness(img, factor):
+    """PIL SMOOTH kernel ([[1,1,1],[1,5,1],[1,1,1]]/13), borders kept."""
+    pad = jnp.pad(img, ((1, 1), (1, 1), (0, 0)), mode="edge")
+    sm = (pad[:-2, :-2] + pad[:-2, 1:-1] + pad[:-2, 2:]
+          + pad[1:-1, :-2] + 5.0 * img + pad[1:-1, 2:]
+          + pad[2:, :-2] + pad[2:, 1:-1] + pad[2:, 2:]) / 13.0
+    h, w = img.shape[:2]
+    ys = jnp.arange(h)[:, None, None]
+    xs = jnp.arange(w)[None, :, None]
+    border = (ys == 0) | (ys == h - 1) | (xs == 0) | (xs == w - 1)
+    sm = jnp.where(border, img, sm)
+    return _blend(img, _q8(sm), factor)
+
+
+def _affine(img, mat, fill: float = 128.0):
+    """Bilinear inverse affine warp — twin of the host ``augment._affine``
+    NumPy path: center (w-1)/2, out-of-bounds filled with gray."""
+    h, w = img.shape[:2]
+    a, b, c, d, e, f = mat
+    ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
+    cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
+    xo, yo = xs - cx, ys - cy
+    xi = a * xo + b * yo + c + cx
+    yi = d * xo + e * yo + f + cy
+    x0 = jnp.floor(xi).astype(jnp.int32)
+    y0 = jnp.floor(yi).astype(jnp.int32)
+    wx = (xi - x0)[..., None]
+    wy = (yi - y0)[..., None]
+
+    def sample(yy, xx):
+        inside = (yy >= 0) & (yy < h) & (xx >= 0) & (xx < w)
+        v = img[jnp.clip(yy, 0, h - 1), jnp.clip(xx, 0, w - 1)]
+        return jnp.where(inside[..., None], v, fill)
+
+    top = sample(y0, x0) * (1 - wx) + sample(y0, x0 + 1) * wx
+    bot = sample(y0 + 1, x0) * (1 - wx) + sample(y0 + 1, x0 + 1) * wx
+    return _q8(top * (1 - wy) + bot * wy)
+
+
+def _shear_x(img, v):
+    return _affine(img, (1.0, -v, 0.0, 0.0, 1.0, 0.0))
+
+
+def _shear_y(img, v):
+    return _affine(img, (1.0, 0.0, 0.0, -v, 1.0, 0.0))
+
+
+def _translate_x(img, v):
+    return _affine(img, (1.0, 0.0, -v * img.shape[1], 0.0, 1.0, 0.0))
+
+
+def _translate_y(img, v):
+    return _affine(img, (1.0, 0.0, 0.0, 0.0, 1.0, -v * img.shape[0]))
+
+
+def _rotate(img, deg):
+    r = deg * (math.pi / 180.0)
+    co, si = jnp.cos(r), jnp.sin(r)
+    return _affine(img, (co, -si, 0.0, si, co, 0.0))
+
+
+def _identity(img, _v):
+    return img
+
+
+def _lvl(lo, hi):
+    return lambda m: lo + (hi - lo) * (m / 10.0)
+
+
+# Same table as augment.RAND_AUGMENT_OPS (timm rand-m9-mstd0.5 ranges);
+# order must match the host's dict order so op indices mean the same thing.
+DEVICE_RAND_AUGMENT_OPS = (
+    ("identity", _identity, _lvl(0, 0), False),
+    ("autocontrast", _autocontrast, _lvl(0, 0), False),
+    ("equalize", _equalize, _lvl(0, 0), False),
+    ("posterize", _posterize, _lvl(8, 4), False),
+    ("solarize", _solarize, _lvl(256, 0), False),
+    ("brightness", _brightness, _lvl(1.0, 1.9), True),
+    ("contrast", _contrast, _lvl(1.0, 1.9), True),
+    ("color", _color, _lvl(1.0, 1.9), True),
+    ("sharpness", _sharpness, _lvl(1.0, 1.9), True),
+    ("shear_x", _shear_x, _lvl(0.0, 0.3), True),
+    ("shear_y", _shear_y, _lvl(0.0, 0.3), True),
+    ("translate_x", _translate_x, _lvl(0.0, 0.45), True),
+    ("translate_y", _translate_y, _lvl(0.0, 0.45), True),
+    ("rotate", _rotate, _lvl(0.0, 30.0), True),
+)
+_ENHANCE_IDX = {5, 6, 7, 8}  # brightness/contrast/color/sharpness
+
+
+def _rand_augment_one(img, key, num_ops: int, magnitude: float,
+                      magnitude_std: float):
+    """Apply ``num_ops`` randomly drawn ops to one f32 [0,255] image via
+    ``lax.switch`` (all branches static-shape; XLA compiles each once)."""
+    n = len(DEVICE_RAND_AUGMENT_OPS)
+
+    branches = []
+    for i, (_, op, lvl, signed) in enumerate(DEVICE_RAND_AUGMENT_OPS):
+        def branch(img, m, sign, op=op, lvl=lvl, signed=signed, i=i):
+            v = lvl(m)
+            if signed:
+                if i in _ENHANCE_IDX:
+                    # timm mirrors enhance factors around identity 1.0
+                    v = jnp.where(sign, 2.0 - v, v)
+                else:
+                    v = jnp.where(sign, -v, v)
+            return op(img, v)
+        branches.append(branch)
+
+    for j in range(num_ops):
+        k_op, k_m, k_sign, key = jax.random.split(key, 4)
+        op_idx = jax.random.randint(k_op, (), 0, n)
+        m = jnp.asarray(magnitude, jnp.float32)
+        if magnitude_std > 0:
+            m = jnp.clip(
+                magnitude + magnitude_std * jax.random.normal(k_m), 0.0, 10.0)
+        sign = jax.random.bernoulli(k_sign)
+        img = jax.lax.switch(op_idx, branches, img, m, sign)
+    return img
+
+
+# ---------------------------------------------------------------------------
+# RandomResizedCrop: traced crop box + coordinate-gather bilinear resize
+# ---------------------------------------------------------------------------
+
+
+def _rrc_box(key, h: int, w: int, scale, ratio, attempts: int = 10):
+    """torchvision RandomResizedCrop box sampling, vectorized over the 10
+    attempts (draw all, take the FIRST valid; fall back to the host's
+    center crop — for the square sources this loader ships, the full
+    image). Returns traced (top, left, ch, cw) int32."""
+    k_area, k_aspect, k_top, k_left = jax.random.split(key, 4)
+    area = float(h * w)
+    ta = area * jax.random.uniform(
+        k_area, (attempts,), minval=scale[0], maxval=scale[1])
+    log_r = (math.log(ratio[0]), math.log(ratio[1]))
+    aspect = jnp.exp(jax.random.uniform(
+        k_aspect, (attempts,), minval=log_r[0], maxval=log_r[1]))
+    cw = jnp.round(jnp.sqrt(ta * aspect)).astype(jnp.int32)
+    ch = jnp.round(jnp.sqrt(ta / aspect)).astype(jnp.int32)
+    valid = (cw > 0) & (cw <= w) & (ch > 0) & (ch <= h)
+    first = jnp.argmax(valid)  # first True (0 if none — guarded below)
+    any_valid = valid.any()
+    cw_s, ch_s = cw[first], ch[first]
+    u_t = jax.random.uniform(k_top, (attempts,))[first]
+    u_l = jax.random.uniform(k_left, (attempts,))[first]
+    top = jnp.floor(u_t * (h - ch_s + 1).astype(jnp.float32)).astype(
+        jnp.int32)
+    left = jnp.floor(u_l * (w - cw_s + 1).astype(jnp.float32)).astype(
+        jnp.int32)
+    # Host fallback (center crop at nearest in-range ratio); square inputs
+    # make it the full image, but compute the general form statically.
+    in_ratio = w / h
+    if in_ratio < ratio[0]:
+        fw, fh = w, min(h, int(round(w / ratio[0])))
+    elif in_ratio > ratio[1]:
+        fw, fh = min(w, int(round(h * ratio[1]))), h
+    else:
+        fw, fh = w, h
+    ftop, fleft = (h - fh) // 2, (w - fw) // 2
+    top = jnp.where(any_valid, top, ftop)
+    left = jnp.where(any_valid, left, fleft)
+    ch_s = jnp.where(any_valid, ch_s, fh)
+    cw_s = jnp.where(any_valid, cw_s, fw)
+    return top, left, ch_s, cw_s
+
+
+def _crop_resize(img, top, left, ch, cw, out_size: int):
+    """Bilinear resize of the (traced) crop box to ``out_size`` — the
+    device twin of host crop-slice + ``_resize_bilinear_np``
+    (align_corners=False; sample coords clipped to the crop interior) as a
+    static-shape gather from the FULL image."""
+    h, w = img.shape[:2]
+    img = img.astype(jnp.float32)
+    u = jnp.arange(out_size, dtype=jnp.float32)
+    ys = (u + 0.5) * ch.astype(jnp.float32) / out_size - 0.5
+    xs = (u + 0.5) * cw.astype(jnp.float32) / out_size - 0.5
+    y0r = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, ch - 1)
+    x0r = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, cw - 1)
+    y1r = jnp.clip(y0r + 1, 0, ch - 1)
+    x1r = jnp.clip(x0r + 1, 0, cw - 1)
+    wy = jnp.clip(ys - y0r, 0.0, 1.0)[:, None, None]
+    wx = jnp.clip(xs - x0r, 0.0, 1.0)[None, :, None]
+    y0, y1 = jnp.clip(top + y0r, 0, h - 1), jnp.clip(top + y1r, 0, h - 1)
+    x0, x1 = jnp.clip(left + x0r, 0, w - 1), jnp.clip(left + x1r, 0, w - 1)
+    top_row = img[y0][:, x0] * (1 - wx) + img[y0][:, x1] * wx
+    bot_row = img[y1][:, x0] * (1 - wx) + img[y1][:, x1] * wx
+    return top_row * (1 - wy) + bot_row * wy
+
+
+# ---------------------------------------------------------------------------
+# The composed per-image pipeline + the public batched entry point
+# ---------------------------------------------------------------------------
+
+
+def _augment_one(img, key, *, img_size, rrc_scale, rrc_ratio, hflip,
+                 randaugment, magnitude_std):
+    k_box, k_flip, k_ra = jax.random.split(key, 3)
+    h, w = img.shape[:2]
+    top, left, ch, cw = _rrc_box(k_box, h, w, rrc_scale, rrc_ratio)
+    out = _crop_resize(img, top, left, ch, cw, img_size)
+    if hflip > 0.0:
+        do = jax.random.uniform(k_flip) < hflip
+        out = jnp.where(do, out[:, ::-1], out)
+    if randaugment is not None:
+        out = _rand_augment_one(_q8(out), k_ra, int(randaugment[0]),
+                                float(randaugment[1]), magnitude_std)
+    return out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("img_size", "rrc_scale", "rrc_ratio", "hflip",
+                     "randaugment", "magnitude_std", "mean", "std"))
+def device_augment(
+    images: jnp.ndarray,
+    key: jax.Array,
+    *,
+    img_size: int = 224,
+    rrc_scale: Tuple[float, float] = (0.08, 1.0),
+    rrc_ratio: Tuple[float, float] = (3.0 / 4.0, 4.0 / 3.0),
+    hflip: float = 0.5,
+    randaugment: Optional[Tuple[int, float]] = (2, 9.0),
+    magnitude_std: float = 0.5,
+    mean: Optional[Tuple[float, ...]] = None,
+    std: Optional[Tuple[float, ...]] = None,
+) -> jnp.ndarray:
+    """RandomResizedCrop → flip → RandAugment → normalize for a whole
+    **uint8 HWC batch** [B, H, W, 3] on device → NCHW fp32 [B, 3, S, S].
+
+    One jitted program, vmapped over the batch with per-image key folds;
+    pair with :func:`..augment.device_mixup_cutmix` for the full on-chip
+    DeiT recipe. ``Trainer(device_augment=...)`` fuses it into the
+    training step so the host loader ships only raw uint8 pixels.
+    """
+    if images.dtype != jnp.uint8 or images.ndim != 4 \
+            or images.shape[-1] != 3:
+        raise ValueError(
+            "device_augment takes raw uint8 HWC batches [B, H, W, 3]; got "
+            f"{images.dtype} {images.shape}")
+    keys = jax.random.split(key, images.shape[0])
+    fn = functools.partial(
+        _augment_one, img_size=img_size, rrc_scale=rrc_scale,
+        rrc_ratio=rrc_ratio, hflip=hflip, randaugment=randaugment,
+        magnitude_std=magnitude_std)
+    out = jax.vmap(fn)(images, keys)  # [B, S, S, 3] f32 in [0, 255]
+    mean_v = jnp.asarray(mean if mean is not None else IMAGENET_MEAN,
+                         jnp.float32) * 255.0
+    std_v = jnp.asarray(std if std is not None else IMAGENET_STD,
+                        jnp.float32) * 255.0
+    out = (out - mean_v) / std_v
+    return out.transpose(0, 3, 1, 2)
+
+
+def raw_batches(
+    images: np.ndarray,
+    labels: np.ndarray,
+    batch_size: int,
+    *,
+    epochs: Optional[int] = 1,
+    seed: int = 0,
+    drop_last: bool = True,
+):
+    """The loader that pairs with :func:`device_augment`: shuffle + slice
+    only — the host's entire per-step cost is one uint8 gather (~0.1
+    ms/batch vs ~4 ms/IMAGE for the host pixel pipeline). Yields
+    ``(uint8 HWC batch, int labels)``; feed through ``DevicePrefetcher``
+    and a Trainer configured with ``device_augment=``/``mixup=``."""
+    n = images.shape[0]
+    if images.dtype != np.uint8:
+        raise ValueError(f"raw_batches ships uint8 (got {images.dtype}); "
+                         "3x less host->device traffic than fp32")
+    epoch = 0
+    while epochs is None or epoch < epochs:
+        rng = np.random.default_rng(seed + epoch)
+        order = rng.permutation(n)
+        stop = n - batch_size + 1 if drop_last else n
+        for lo in range(0, max(stop, 0), batch_size):
+            idx = order[lo:lo + batch_size]
+            yield images[idx], labels[idx]
+        epoch += 1

@@ -86,7 +86,19 @@ def main(argv=None) -> int:
                         help="also print human-readable class names")
     parser.add_argument("--pure-python", action="store_true",
                         help="force the NumPy io layer instead of libvitio")
+    parser.add_argument("--platform", default=None, metavar="NAME",
+                        help="pin the JAX platform (e.g. cpu, tpu) for "
+                        "--backend tpu. Use "
+                        "--platform cpu to exercise the engine off-chip: "
+                        "JAX_PLATFORMS=cpu alone does not stick on hosts "
+                        "whose sitecustomize re-registers an accelerator "
+                        "plugin (the tunneled-relay boxes)")
     args = parser.parse_args(argv)
+
+    if args.platform is not None:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     cfg = config_lib.get_config(args.config)
 

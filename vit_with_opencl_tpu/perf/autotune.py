@@ -145,9 +145,18 @@ def tune_fused_block_ipc(
 
     ``quant`` ("int8" / "int8-w8a8") sweeps the QUANTIZED kernel variant —
     int8 weights halve resident VMEM, so its images-per-cell optimum can
-    differ from the bf16 one."""
+    differ from the bf16 one.
+
+    ipc=8 is excluded at embed_dim >= 1024: its unrolled kernel compiles
+    for >9 minutes at ViT-L width on the relay (measured round 5, two
+    timed-out 550 s windows) — past every safe tuning window, for a
+    candidate that loses at ipc=4 already on these widths. The stack
+    tuner excludes it everywhere for the same reason."""
     from ..models import vit
     from ..ops import fused_block
+
+    if config.embed_dim >= 1024:
+        candidates = [c for c in candidates if c <= 4]
 
     if quant:
         from ..models import quant as quantlib

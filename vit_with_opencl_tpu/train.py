@@ -86,6 +86,7 @@ class Trainer:
         grad_clip_norm: Optional[float] = None,
         label_smoothing: float = 0.0,
         mixup: Optional[dict] = None,
+        device_augment: Optional[dict] = None,
         ema_decay: Optional[float] = None,
         seed: int = 0,
         checkpoint_dir: Optional[str] = None,
@@ -163,48 +164,69 @@ class Trainer:
         else:
             self._init_opt, self._step = made
 
-        # Device-side Mixup/CutMix (augment.device_mixup_cutmix): the mix
-        # fuses into the step's jit instead of costing a host batch pass on
-        # the producer thread (~2 ms/img measured). ``mixup`` is its kwargs
-        # (mixup_alpha/cutmix_alpha/prob/switch_prob, optional seed); pair
-        # with a dataset yielding INT labels (augmented_dataset(mix=
-        # "device") or data.memory_dataset).
+        # Device-side input pipeline, fused into the step's jit instead of
+        # costing host producer time (the host pipeline is ~4 ms/img of
+        # GIL-bound NumPy — it starves every config on a small host;
+        # BENCH.md round 5):
+        #   ``device_augment``: kwargs for augment_device.device_augment
+        #     (RRC+flip+RandAugment+normalize on chip) — feed RAW uint8 HWC
+        #     batches (augment_device.raw_batches); img_size defaults to
+        #     the model's. Sequence kwargs must be tuples (they are jit
+        #     statics).
+        #   ``mixup``: kwargs for augment.device_mixup_cutmix
+        #     (mixup_alpha/cutmix_alpha/prob/switch_prob) — pair with a
+        #     dataset yielding INT labels (augmented_dataset(mix="device"),
+        #     raw_batches, or data.memory_dataset).
+        # Either, or both (augment runs first); one fused program with the
+        # step. An optional "seed" in either dict overrides the RNG seed.
         self._mix_step = None
-        if mixup is not None:
+        if mixup is not None or device_augment is not None:
             from . import augment as augment_mod
+            from . import augment_device as aug_dev_mod
 
-            mix_kw = dict(mixup)
-            base_key = jax.random.key(mix_kw.pop("seed", seed + 101))
+            mix_kw = dict(mixup) if mixup is not None else None
+            aug_kw = dict(device_augment) if device_augment is not None \
+                else None
+            key_seed = seed + 101
+            for kw in (aug_kw, mix_kw):
+                if kw is not None:
+                    key_seed = kw.pop("seed", key_seed)
+            if aug_kw is not None:
+                aug_kw.setdefault("img_size", config.img_size)
+            base_key = jax.random.key(key_seed)
             nc = config.num_classes
             inner = self._step
 
-            if self._split_mode:
-                # The host-loop step is not jittable as a whole; mix in a
-                # separate small jit, then run the split step on the result.
-                @jax.jit
-                def _mix_prep(images, labels, step_i):
-                    k = jax.random.fold_in(base_key, step_i)
+            def _prep(images, labels, step_i):
+                k = jax.random.fold_in(base_key, step_i)
+                k_aug, k_mix = jax.random.split(k)
+                if aug_kw is not None:
+                    images = aug_dev_mod.device_augment(
+                        images, k_aug, **aug_kw)
+                if mix_kw is not None:
                     return augment_mod.device_mixup_cutmix(
-                        k, images, labels, nc, **mix_kw)
+                        k_mix, images, labels, nc, **mix_kw)
+                return images, labels
+
+            if self._split_mode:
+                # The host-loop step is not jittable as a whole; prep in a
+                # separate small jit, then run the split step on the result.
+                _prep_jit = jax.jit(_prep)
 
                 def _mix_step(params, images, labels, step_i):
-                    mixed, soft = _mix_prep(images, labels, step_i)
+                    mixed, soft = _prep_jit(images, labels, step_i)
                     return inner(params, mixed, soft)
             elif self._init_opt is None:
 
                 @jax.jit
                 def _mix_step(params, images, labels, step_i):
-                    k = jax.random.fold_in(base_key, step_i)
-                    mixed, soft = augment_mod.device_mixup_cutmix(
-                        k, images, labels, nc, **mix_kw)
+                    mixed, soft = _prep(images, labels, step_i)
                     return inner(params, mixed, soft)
             else:
 
                 @jax.jit
                 def _mix_step(params, opt_state, images, labels, step_i):
-                    k = jax.random.fold_in(base_key, step_i)
-                    mixed, soft = augment_mod.device_mixup_cutmix(
-                        k, images, labels, nc, **mix_kw)
+                    mixed, soft = _prep(images, labels, step_i)
                     return inner(params, opt_state, mixed, soft)
 
             self._mix_step = _mix_step
