@@ -83,6 +83,7 @@ class Trainer:
         compute_dtype=jnp.bfloat16,
         attention_impl: str = "xla",
         grad_accum: int = 1,
+        scan_unroll: int = 1,
         grad_clip_norm: Optional[float] = None,
         label_smoothing: float = 0.0,
         mixup: Optional[dict] = None,
@@ -152,11 +153,14 @@ class Trainer:
                 grad_clip_norm=grad_clip_norm, backward=parts[1],
             )
         else:
+            # scan_unroll=depth is the relay-compile dodge for D>=768
+            # grad-through-scan programs (BENCH.md round 3) — plumbed
+            # through so Trainer reaches big widths on tunneled targets.
             made = spmd.make_train_step(
                 config, self.mesh, lr=lr, compute_dtype=compute_dtype,
                 optimizer=optimizer, weight_decay=weight_decay,
                 attention_impl=attention_impl, grad_accum=grad_accum,
-                grad_clip_norm=grad_clip_norm,
+                scan_unroll=scan_unroll, grad_clip_norm=grad_clip_norm,
                 label_smoothing=label_smoothing,
             )
         if optimizer == "sgd":
