@@ -135,7 +135,21 @@ def main():
     print(f"param/input gen+materialize: {time.perf_counter() - t0:.1f}s",
           file=sys.stderr)
 
-    kernels = vit.resolve_kernels(attention_impl, w8a8=w8a8,
+    # Device-measured launch winners (autotune cache) — same consultation
+    # the InferenceEngine does, so the bench measures the production
+    # configuration (round 5: H-W8A8 wants ipc=1, G-W8A8 ipc=4, not the
+    # shipped ipc=2 heuristic).
+    from vit_with_opencl_tpu.perf import autotune
+
+    tuning = autotune.lookup(
+        cfg, batch, jnp.bfloat16,
+        quant="int8-w8a8" if w8a8 else quant_mode)
+    if tuning:
+        knobs = {k: v for k, v in tuning.items()
+                 if not isinstance(v, dict) and k not in
+                 ("device", "timestamp")}
+        print(f"autotune cache: {knobs}", file=sys.stderr)
+    kernels = vit.resolve_kernels(attention_impl, tuning=tuning, w8a8=w8a8,
                                   heads=(cfg.num_heads, cfg.head_dim))
     if cfg.head_type == "none":
         # Bare tower (CLIP vision trunk): benchmark feature extraction.
