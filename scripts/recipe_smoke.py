@@ -8,10 +8,13 @@ training recipe end-to-end on real hardware —
       → train step (bf16 compute, flash attention VJP)
       → EMA shadow weights → EMA eval/export path
 
-and the cost accounting: ms/step with the whole pixel pipeline fused
-on-chip vs the bare step on pre-augmented fp32 batches. The delta is the
-TRUE price of never starving the chip (the host pipeline's price is
-4 ms/img of producer CPU — BENCH.md round 5 augment table).
+and the cost accounting, twice: (a) end-to-end through Trainer.fit
+(includes host->device wire — on this tunneled runtime the fp32 input
+stream is the bottleneck: 77 MB/batch at ~40 MB/s vs 25 MB raw uint8),
+and (b) device-resident (batches staged once, jitted steps chained,
+one fence) — the TRUE on-chip price of fusing the pixel pipeline into
+the step, vs the 4 ms/img of host producer CPU it replaces (BENCH.md
+round 5 augment table).
 
 Usage: python scripts/recipe_smoke.py [config] [batch] [steps]
 UNROLL=12 for vit_b-width grad-through-scan on the tunneled relay.
@@ -98,11 +101,50 @@ def main():
     ms_bare = (time.perf_counter() - t0) / steps * 1e3
     print(f"bare step (pre-augmented fp32 in):       {ms_bare:8.2f} "
           f"ms/step ({batch / ms_bare * 1e3:6.0f} img/s)")
-    print(f"on-chip pixel-pipeline overhead: "
+    print(f"end-to-end delta (incl. wire: uint8 ships "
+          f"{batch * src * src * 3 / 2**20:.0f} MB/batch, fp32 "
+          f"{batch * cfg.in_chans * cfg.img_size**2 * 4 / 2**20:.0f} MB): "
           f"{ms_recipe - ms_bare:+.2f} ms/step "
-          f"({(ms_recipe / ms_bare - 1) * 100:+.1f}%) — vs 4 ms/img "
-          f"(= {4.0 * batch:.0f} ms/batch) of host producer CPU it "
-          f"replaces")
+          f"({(ms_recipe / ms_bare - 1) * 100:+.1f}%)")
+
+    # --- device-resident step timing (isolates the on-chip augment cost
+    # from host->device wire, which dominates end-to-end on a tunneled
+    # runtime: fp32 bs128@224 is 77 MB/batch over ~40 MB/s) ------------
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sh = NamedSharding(mesh, P("data"))
+    img_u8 = jax.device_put(raw[:batch], sh)
+    img_f32 = jax.device_put(pre[:batch], sh)
+    lbl = jax.device_put(labels[:batch], sh)
+
+    def timed_chain(step_fn, params, opt, ema, ema_fn, n):
+        loss = None
+        for i in range(n):
+            params, opt, loss = step_fn(params, opt, i)
+            ema = ema_fn(ema, params)
+        fence(loss)
+        return params, opt, ema
+
+    def measure(tr_obj, step_fn, label):
+        p, o, e = tr_obj.params, tr_obj.opt_state, tr_obj.ema_params
+        p, o, e = timed_chain(step_fn, p, o, e, tr_obj._ema_update, 2)
+        t0 = time.perf_counter()
+        timed_chain(step_fn, p, o, e, tr_obj._ema_update, steps)
+        ms = (time.perf_counter() - t0) / steps * 1e3
+        print(f"{label}: {ms:8.2f} ms/step "
+              f"({batch / ms * 1e3:6.0f} img/s)")
+        return ms
+
+    ms_r = measure(
+        tr, lambda p, o, i: tr._mix_step(p, o, img_u8, lbl, i),
+        "device-resident recipe step (aug+mix+EMA)")
+    ms_b = measure(
+        tb, lambda p, o, i: tb._step(p, o, img_f32, lbl),
+        "device-resident bare step   (fp32 in)    ")
+    print(f"true on-chip pixel-pipeline cost: {ms_r - ms_b:+.2f} ms/step "
+          f"({(ms_r / ms_b - 1) * 100:+.1f}%, "
+          f"{(ms_r - ms_b) / batch * 1e3:+.0f} us/img) — replaces "
+          f"4 ms/img (= {4.0 * batch:.0f} ms/batch) of host producer CPU")
 
 
 if __name__ == "__main__":

@@ -58,17 +58,86 @@ def test_photometric_op_twins(img_u8, name, dev_fn, arg):
 @pytest.mark.parametrize("name,arg", [
     ("shear_x", 0.22), ("shear_y", -0.15),
     ("translate_x", 0.3), ("translate_y", -0.12),
-    ("rotate", 17.0), ("rotate", -30.0),
+    ("translate_x", -0.45), ("translate_y", 0.45),  # full production reach
 ])
 def test_affine_op_twins(img_u8, name, arg):
-    """Device affine warp vs the host _affine NumPy path (float input
-    forces the host off PIL onto the documented NumPy convention)."""
+    """Device single-axis basis warps vs the host _affine NumPy path
+    (float input forces the host off PIL onto the documented NumPy
+    convention). Shears/translations are unit-diagonal maps, so the
+    separable warp is EXACTLY the 2-D bilinear warp."""
     host_fn = augment.RAND_AUGMENT_OPS[name][0]
     want = host_fn(img_u8.astype(np.float32), arg).astype(np.float32)
     dev_fn = getattr(augment_device, f"_{name}")
     got = np.asarray(dev_fn(jnp.asarray(img_u8, jnp.float32), arg))
     np.testing.assert_allclose(got, want, atol=1.0 + 1e-6)
     assert np.mean(got != want) < 0.02
+
+
+def _host_rotate_paeth(img_f32, deg):
+    """Host-side twin of the device Paeth rotation: the same three
+    unit-diagonal shears through augment._affine (each u8-rounded)."""
+    import math
+    r = math.radians(deg)
+    a, b = -math.tan(r / 2.0), math.sin(r)
+    out = augment._affine(img_f32, (1.0, a, 0.0, 0.0, 1.0, 0.0))
+    out = augment._affine(out.astype(np.float32),
+                          (1.0, 0.0, 0.0, b, 1.0, 0.0))
+    return augment._affine(out.astype(np.float32),
+                           (1.0, a, 0.0, 0.0, 1.0, 0.0))
+
+
+@pytest.mark.parametrize("deg", [17.0, -30.0])
+def test_rotate_paeth_twin(img_u8, deg):
+    """Device rotate == composing the three host _affine shears exactly
+    (the Paeth factorization Sx(α)·Sy(β)·Sx(α) = R(θ))."""
+    want = _host_rotate_paeth(img_u8.astype(np.float32), deg)
+    got = np.asarray(augment_device._rotate(
+        jnp.asarray(img_u8, jnp.float32), deg))
+    np.testing.assert_allclose(got, want.astype(np.float32),
+                               atol=1.0 + 1e-6)
+    assert np.mean(got != want) < 0.02
+
+
+def test_rotate_geometry_matches_direct_resample(img_u8):
+    """The 3-shear rotation and the single-resample host _rotate differ
+    only by interpolation scheme — interior pixels must agree closely on
+    smooth content (catches any sign/direction/center error)."""
+    y, x = np.mgrid[0:32, 0:32].astype(np.float32)
+    smooth = np.stack([y * 8, x * 8, (y + x) * 4], axis=-1)
+    want = augment.RAND_AUGMENT_OPS["rotate"][0](smooth, 21.0)
+    got = np.asarray(augment_device._rotate(jnp.asarray(smooth), 21.0))
+    inner = (slice(8, 24), slice(8, 24))
+    err = np.abs(got[inner] - want.astype(np.float32)[inner]).mean()
+    assert err < 3.0, err
+
+
+@pytest.mark.parametrize("g,m,sign", [
+    (0, 9.0, False), (1, 7.0, True), (2, 9.5, False), (3, 6.0, True),
+    (4, 10.0, True), (4, 9.0, False),
+])
+def test_geom_apply_matches_standalone_ops(img_u8, g, m, sign):
+    """The fused parameter-selected warp (production RandAugment path)
+    reproduces each standalone geometric device op bit-for-bit."""
+    name, op, lvl, _signed = augment_device.DEVICE_RAND_AUGMENT_OPS[
+        augment_device._GEOM_BASE + g]
+    v = lvl(m)
+    v = -v if sign else v
+    img = jnp.asarray(img_u8, jnp.float32)
+    want = np.asarray(op(img, v))
+    got = np.asarray(augment_device._geom_apply(
+        img, jnp.int32(augment_device._GEOM_BASE + g),
+        jnp.float32(m), jnp.asarray(sign)))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_geom_apply_pointwise_index_is_identity(img_u8):
+    """Out-of-range (pointwise) op indices make the warp an exact
+    identity — the select in _rand_augment_one relies on it being safe to
+    compute unconditionally."""
+    img = jnp.asarray(img_u8, jnp.float32)
+    got = np.asarray(augment_device._geom_apply(
+        img, jnp.int32(3), jnp.float32(9.0), jnp.asarray(True)))
+    np.testing.assert_array_equal(got, np.asarray(img))
 
 
 def test_posterize_identity_at_8_bits(img_u8):

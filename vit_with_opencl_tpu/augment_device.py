@@ -24,10 +24,31 @@ each device op is unit-tested against its host twin on fixed arguments in
 - Geometric resampling (RRC resize, affine warps) follows the pure-NumPy
   bilinear convention (``io.preprocess._resize_bilinear_np`` /
   ``augment._affine``'s NumPy path, align_corners=False), not PIL's
-  half-pixel C sampler that the host prefers for uint8 speed. Reference
-  behavior contract: the reference consumes *pre-augmented* tensors
-  (SURVEY §2.4 — its inputs are offline torchvision preprocessing), so
-  augmentation backends are free as long as train-time statistics match.
+  half-pixel C sampler that the host prefers for uint8 speed. Rotation is
+  a Paeth 3-shear decomposition (three exact single-axis bilinear passes
+  instead of one 2-D resample — see :func:`_rotate`). Reference behavior
+  contract: the reference consumes *pre-augmented* tensors (SURVEY §2.4 —
+  its inputs are offline torchvision preprocessing), so augmentation
+  backends are free as long as train-time statistics match.
+
+TPU shaping (the round-5 rewrite; all numbers bs128 224px on chip): under
+``vmap``, ``lax.switch`` lowers to "run EVERY branch, select", so the
+per-op cost model is "sum of all ops", not "cost of the drawn op" — the
+naive port (2-D gather warps per affine op, scatter-add histograms) ran
+the full RandAugment table at 3.28 s/batch, 6x worse than the host
+pipeline it replaces. Three rewrites fix the three hot spots and are
+exact-parity against the originals:
+
+- affine warps: all five geometric ops are unit-diagonal inverse maps
+  (rotate after Paeth factoring), i.e. separable single-axis warps with a
+  per-row/column constant integer shift + 2-tap blend. One fused 3-pass
+  two-level shift-basis warp (:func:`_warp_x`/:func:`_warp_y`, selected
+  by traced per-image parameters in :func:`_geom_apply`) replaces five
+  vmapped 2-D gathers: 2501 -> ~30 ms.
+- equalize: compare-and-sum one-hot histogram + one-hot LUT contraction
+  instead of `.at[].add` scatter: 761 -> 24 ms, parity 0.0.
+- RRC resize: the bilinear gather becomes two one-hot matmuls riding the
+  MXU (:func:`_crop_resize`): exact up to fp32 dot order.
 
 The reference project has no training at all; this module is
 beyond-reference capability paired with `augment.device_mixup_cutmix`.
@@ -72,20 +93,27 @@ def _autocontrast(img, _v):
 
 
 def _equalize(img, _v):
-    """PIL ImageOps.equalize per channel: 256-bin histogram (scatter-add)
-    → PIL's step/offset LUT (integer arithmetic) → gather."""
+    """PIL ImageOps.equalize per channel: 256-bin histogram → PIL's
+    step/offset LUT (integer arithmetic) → LUT lookup.
+
+    TPU-shaped: both the histogram and the lookup go through a one-hot
+    [H, W, 256] compare plane (sum for the histogram, weighted sum for the
+    LUT application) — the `.at[].add` scatter lowering this replaces was
+    30x slower on chip; parity vs it is exactly 0.0."""
+    bins = jnp.arange(256, dtype=jnp.int32)
+
     def one_channel(ch):
-        idx = ch.astype(jnp.int32).reshape(-1)
-        hist = jnp.zeros((256,), jnp.int32).at[idx].add(1)
+        oh = ch.astype(jnp.int32)[..., None] == bins        # [H, W, 256]
+        hist = oh.sum(axis=(0, 1)).astype(jnp.int32)
         nz = hist > 0
         n_nz = nz.sum()
         # value of the LAST nonzero bin
-        last_nz = hist[jnp.argmax(jnp.where(nz, jnp.arange(256), -1))]
+        last_nz = hist[jnp.argmax(jnp.where(nz, bins, -1))]
         step = (hist.sum() - last_nz) // 255
         lut = jnp.clip(
             (jnp.cumsum(hist) - hist + step // 2)
             // jnp.maximum(step, 1), 0, 255).astype(jnp.float32)
-        out = lut[idx].reshape(ch.shape)
+        out = (oh * lut).sum(-1)
         return jnp.where((n_nz <= 1) | (step == 0), ch, out)
 
     return jnp.stack([one_channel(img[..., c]) for c in range(3)], axis=-1)
@@ -134,7 +162,13 @@ def _sharpness(img, factor):
 
 def _affine(img, mat, fill: float = 128.0):
     """Bilinear inverse affine warp — twin of the host ``augment._affine``
-    NumPy path: center (w-1)/2, out-of-bounds filled with gray."""
+    NumPy path: center (w-1)/2, out-of-bounds filled with gray.
+
+    This is the general 2-D point-gather form, kept as the correctness
+    reference; it lowers to a gather that costs ~256 ms/batch at bs128
+    under vmap, so the production RandAugment path never calls it — all
+    five geometric ops route through the separable :func:`_warp_x` /
+    :func:`_warp_y` basis warps instead (exact for unit-diagonal maps)."""
     h, w = img.shape[:2]
     a, b, c, d, e, f = mat
     ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
@@ -158,26 +192,139 @@ def _affine(img, mat, fill: float = 128.0):
     return _q8(top * (1 - wy) + bot * wy)
 
 
+# -- separable shift-basis warps (the TPU-shaped affine backend) -----------
+
+_GRANULE = 16  # coarse-shift stride of the two-level basis (G ~ sqrt(2S))
+_TAN15 = math.tan(math.pi / 12.0)   # Paeth alpha reach at the 30 deg cap
+_SIN30 = 0.5                        # Paeth beta reach at the 30 deg cap
+
+
+def _s_bound(reach: float) -> int:
+    """Shift budget covering |offset| <= reach, rounded up to a multiple
+    of the granule so the coarse-pass slice bounds tile the pad exactly."""
+    return -(-int(math.ceil(reach + 1.0)) // _GRANULE) * _GRANULE
+
+
+def _concrete_reach(v, default: float) -> float:
+    """Widen a static shift bound when the op argument is a concrete
+    number outside the production magnitude range (traced arguments keep
+    the table bound; offsets beyond the budget saturate)."""
+    if isinstance(v, (int, float, np.integer, np.floating)):
+        return max(default, abs(float(v)))
+    return default
+
+
+def _warp_x(img, slope, const, S: int):
+    """``out[y, x] = bilinear_x(img[y], x + off(y))`` with
+    ``off(y) = slope*(y - cy) + const`` clipped to [-S, S-1] and taps
+    outside the image filled with gray — the exact single-axis
+    specialization of :func:`_affine` for maps with no x-scale
+    (a=1: shears, translations, Paeth rotation passes).
+
+    TPU-shaped: the per-row integer shift is *selected*, not gathered — a
+    coarse pass of static stride-16 slices picks the shift granule, a fine
+    pass of 16 static slices applies the remainder plus the 2-tap bilinear
+    blend. ceil(2S/16)+16 fused mask-multiply-adds replace a 2-D point
+    gather (measured 2501 -> ~30 ms/batch for the full affine table at
+    bs128/224px, exact parity vs the gather on in-budget offsets)."""
+    h, w = img.shape[:2]
+    cy = (h - 1) / 2.0
+    yo = jnp.arange(h, dtype=jnp.float32) - cy
+    off = jnp.clip(slope * yo + const, float(-S), float(S - 1))
+    s0f = jnp.floor(off)
+    f = (off - s0f)[:, None, None]
+    s0 = s0f.astype(jnp.int32)                    # in [-S, S-1]
+    coarse = (s0 + S) // _GRANULE                 # in [0, 2S/G - 1]
+    fine = (s0 + S) - coarse * _GRANULE           # in [0, G-1]
+    pad = jnp.pad(img, ((0, 0), (S + 1, S + 1), (0, 0)),
+                  constant_values=128.0)
+    mid = jnp.zeros((h, w + _GRANULE + 1) + img.shape[2:], img.dtype)
+    for c in range(2 * S // _GRANULE):
+        hit = (coarse == c).astype(img.dtype)[:, None, None]
+        start = c * _GRANULE + 1                  # pad col of shift c*G-S
+        mid = mid + hit * jax.lax.slice_in_dim(
+            pad, start, start + w + _GRANULE + 1, axis=1)
+    acc = jnp.zeros_like(img)
+    for s in range(_GRANULE):
+        hit = (fine == s).astype(img.dtype)[:, None, None]
+        lo = jax.lax.slice_in_dim(mid, s, s + w, axis=1)
+        hi = jax.lax.slice_in_dim(mid, s + 1, s + 1 + w, axis=1)
+        acc = acc + hit * ((1.0 - f) * lo + f * hi)
+    return acc
+
+
+def _warp_y(img, slope, const, S: int):
+    """y-axis twin of :func:`_warp_x`:
+    ``out[y, x] = bilinear_y(img[:, x], y + off(x))``,
+    ``off(x) = slope*(x - cx) + const``."""
+    h, w = img.shape[:2]
+    cx = (w - 1) / 2.0
+    xo = jnp.arange(w, dtype=jnp.float32) - cx
+    off = jnp.clip(slope * xo + const, float(-S), float(S - 1))
+    s0f = jnp.floor(off)
+    f = (off - s0f)[None, :, None]
+    s0 = s0f.astype(jnp.int32)
+    coarse = (s0 + S) // _GRANULE
+    fine = (s0 + S) - coarse * _GRANULE
+    pad = jnp.pad(img, ((S + 1, S + 1), (0, 0), (0, 0)),
+                  constant_values=128.0)
+    mid = jnp.zeros((h + _GRANULE + 1, w) + img.shape[2:], img.dtype)
+    for c in range(2 * S // _GRANULE):
+        hit = (coarse == c).astype(img.dtype)[None, :, None]
+        start = c * _GRANULE + 1
+        mid = mid + hit * jax.lax.slice_in_dim(
+            pad, start, start + h + _GRANULE + 1, axis=0)
+    acc = jnp.zeros_like(img)
+    for s in range(_GRANULE):
+        hit = (fine == s).astype(img.dtype)[None, :, None]
+        lo = jax.lax.slice_in_dim(mid, s, s + h, axis=0)
+        hi = jax.lax.slice_in_dim(mid, s + 1, s + 1 + h, axis=0)
+        acc = acc + hit * ((1.0 - f) * lo + f * hi)
+    return acc
+
+
 def _shear_x(img, v):
-    return _affine(img, (1.0, -v, 0.0, 0.0, 1.0, 0.0))
+    S = _s_bound(_concrete_reach(v, 0.3) * (img.shape[0] - 1) / 2.0)
+    return _q8(_warp_x(img, -v, 0.0, S))
 
 
 def _shear_y(img, v):
-    return _affine(img, (1.0, 0.0, 0.0, -v, 1.0, 0.0))
+    S = _s_bound(_concrete_reach(v, 0.3) * (img.shape[1] - 1) / 2.0)
+    return _q8(_warp_y(img, -v, 0.0, S))
 
 
 def _translate_x(img, v):
-    return _affine(img, (1.0, 0.0, -v * img.shape[1], 0.0, 1.0, 0.0))
+    S = _s_bound(_concrete_reach(v, 0.45) * img.shape[1])
+    return _q8(_warp_x(img, 0.0, -v * img.shape[1], S))
 
 
 def _translate_y(img, v):
-    return _affine(img, (1.0, 0.0, 0.0, 0.0, 1.0, -v * img.shape[0]))
+    S = _s_bound(_concrete_reach(v, 0.45) * img.shape[0])
+    return _q8(_warp_y(img, 0.0, -v * img.shape[0], S))
 
 
 def _rotate(img, deg):
-    r = deg * (math.pi / 180.0)
-    co, si = jnp.cos(r), jnp.sin(r)
-    return _affine(img, (co, -si, 0.0, si, co, 0.0))
+    """Paeth 3-shear rotation: R(θ) = Sx(α)·Sy(β)·Sx(α) with
+    α = -tan(θ/2), β = sin θ — three exact single-axis bilinear passes
+    (each u8-rounded, i.e. equivalent to composing the three host
+    ``_affine`` shears) instead of one 2-D resample.
+
+    Documented deviation from the host's single-resample ``_rotate``: the
+    geometry is identical (the matrices compose to exactly [co,-si;si,co])
+    but interpolation happens per pass, so pixel values differ the way two
+    classic rotation algorithms differ. The reference consumes offline-
+    preprocessed tensors (SURVEY §2.4), so resampling backends are free;
+    this one runs ~15x faster under vmap than the gather warp."""
+    d = min(max(_concrete_reach(deg, 30.0), 1e-3), 80.0)
+    r = jnp.asarray(deg, jnp.float32) * (math.pi / 180.0)
+    alpha, beta = -jnp.tan(r / 2.0), jnp.sin(r)
+    h, w = img.shape[:2]
+    rad = math.radians(d)
+    sx = _s_bound(math.tan(rad / 2.0) * (h - 1) / 2.0)
+    sy = _s_bound(math.sin(rad) * (w - 1) / 2.0)
+    out = _q8(_warp_x(img, alpha, 0.0, sx))
+    out = _q8(_warp_y(out, beta, 0.0, sy))
+    return _q8(_warp_x(out, alpha, 0.0, sx))
 
 
 def _identity(img, _v):
@@ -207,16 +354,58 @@ DEVICE_RAND_AUGMENT_OPS = (
     ("rotate", _rotate, _lvl(0.0, 30.0), True),
 )
 _ENHANCE_IDX = {5, 6, 7, 8}  # brightness/contrast/color/sharpness
+_GEOM_BASE = 9  # table rows [9:] are geometric — fused warp, not switch
+
+
+def _geom_apply(img, op_idx, m, sign):
+    """All five geometric RandAugment ops as ONE shared 3-pass separable
+    warp, selected by traced per-image *parameters* instead of branches.
+
+    Why: under vmap, ``lax.switch`` runs every branch for every image, so
+    five warp branches cost five warps. Shears and translations are
+    single-axis maps; Paeth-factored rotation is xpass·ypass·xpass — so
+    one (xpass, ypass, xpass) chain with op-selected (slope, const) per
+    pass covers all five (unused passes get zero parameters = exact
+    identity, and u8 re-rounding an already-u8 image is a no-op, so pure
+    shears/translations still match host ``_affine`` exactly)."""
+    h, w = img.shape[:2]
+    g = op_idx - _GEOM_BASE  # 0 shear_x, 1 shear_y, 2 tx, 3 ty, 4 rotate
+    lv = [DEVICE_RAND_AUGMENT_OPS[_GEOM_BASE + i][2](m) for i in range(5)]
+
+    def sgn(v):
+        return jnp.where(sign, -v, v)
+
+    shx, shy = sgn(lv[0]), sgn(lv[1])
+    txv, tyv = sgn(lv[2]), sgn(lv[3])
+    r = sgn(lv[4]) * (math.pi / 180.0)
+    alpha, beta = -jnp.tan(r / 2.0), jnp.sin(r)
+    is_ = [g == i for i in range(5)]
+    k1 = jnp.where(is_[0], -shx, 0.0) + jnp.where(is_[4], alpha, 0.0)
+    t1 = jnp.where(is_[2], -txv * w, 0.0)
+    k2 = jnp.where(is_[1], -shy, 0.0) + jnp.where(is_[4], beta, 0.0)
+    t2 = jnp.where(is_[3], -tyv * h, 0.0)
+    k3 = jnp.where(is_[4], alpha, 0.0)
+    s1 = _s_bound(max(0.3 * (h - 1) / 2.0, _TAN15 * (h - 1) / 2.0,
+                      0.45 * w))
+    s2 = _s_bound(max(0.3 * (w - 1) / 2.0, _SIN30 * (w - 1) / 2.0,
+                      0.45 * h))
+    s3 = _s_bound(_TAN15 * (h - 1) / 2.0)
+    out = _q8(_warp_x(img, k1, t1, s1))
+    out = _q8(_warp_y(out, k2, t2, s2))
+    return _q8(_warp_x(out, k3, 0.0, s3))
 
 
 def _rand_augment_one(img, key, num_ops: int, magnitude: float,
                       magnitude_std: float):
-    """Apply ``num_ops`` randomly drawn ops to one f32 [0,255] image via
-    ``lax.switch`` (all branches static-shape; XLA compiles each once)."""
+    """Apply ``num_ops`` randomly drawn ops to one f32 [0,255] image:
+    pointwise ops via ``lax.switch`` (all branches static-shape and cheap
+    — vmap runs them ALL, see :func:`_geom_apply`), geometric ops via the
+    shared parameter-selected warp."""
     n = len(DEVICE_RAND_AUGMENT_OPS)
 
     branches = []
-    for i, (_, op, lvl, signed) in enumerate(DEVICE_RAND_AUGMENT_OPS):
+    for i, (_, op, lvl, signed) in enumerate(
+            DEVICE_RAND_AUGMENT_OPS[:_GEOM_BASE]):
         def branch(img, m, sign, op=op, lvl=lvl, signed=signed, i=i):
             v = lvl(m)
             if signed:
@@ -236,7 +425,10 @@ def _rand_augment_one(img, key, num_ops: int, magnitude: float,
             m = jnp.clip(
                 magnitude + magnitude_std * jax.random.normal(k_m), 0.0, 10.0)
         sign = jax.random.bernoulli(k_sign)
-        img = jax.lax.switch(op_idx, branches, img, m, sign)
+        pw = jax.lax.switch(jnp.minimum(op_idx, _GEOM_BASE - 1), branches,
+                            img, m, sign)
+        geo = _geom_apply(img, op_idx, m, sign)
+        img = jnp.where(op_idx >= _GEOM_BASE, geo, pw)
     return img
 
 
@@ -286,27 +478,39 @@ def _rrc_box(key, h: int, w: int, scale, ratio, attempts: int = 10):
     return top, left, ch_s, cw_s
 
 
+def _cr_weights(start, c, out_size: int, n: int):
+    """[out_size, n] bilinear resampling matrix for one axis of a (traced)
+    crop box: row u holds (1-f) at clip(start + floor(s), ...) and f at
+    the next source sample — align_corners=False, coords clipped to the
+    crop interior exactly like the gather formulation it replaces."""
+    u = jnp.arange(out_size, dtype=jnp.float32)
+    s = (u + 0.5) * c.astype(jnp.float32) / out_size - 0.5
+    s0 = jnp.clip(jnp.floor(s).astype(jnp.int32), 0, c - 1)
+    s1 = jnp.clip(s0 + 1, 0, c - 1)
+    f = jnp.clip(s - s0, 0.0, 1.0)[:, None]
+    i = jnp.arange(n, dtype=jnp.int32)[None, :]
+    a0 = jnp.clip(start + s0, 0, n - 1)[:, None]
+    a1 = jnp.clip(start + s1, 0, n - 1)[:, None]
+    return (i == a0) * (1.0 - f) + (i == a1) * f
+
+
 def _crop_resize(img, top, left, ch, cw, out_size: int):
     """Bilinear resize of the (traced) crop box to ``out_size`` — the
     device twin of host crop-slice + ``_resize_bilinear_np``
-    (align_corners=False; sample coords clipped to the crop interior) as a
-    static-shape gather from the FULL image."""
+    (align_corners=False; sample coords clipped to the crop interior).
+
+    TPU-shaped: the resample is two one-hot matmuls over the FULL source
+    axes (rows then columns) riding the MXU — identical arithmetic to the
+    4-tap gather up to fp32 dot order, ~1.5x faster under vmap and immune
+    to the point-gather lowering."""
     h, w = img.shape[:2]
     img = img.astype(jnp.float32)
-    u = jnp.arange(out_size, dtype=jnp.float32)
-    ys = (u + 0.5) * ch.astype(jnp.float32) / out_size - 0.5
-    xs = (u + 0.5) * cw.astype(jnp.float32) / out_size - 0.5
-    y0r = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, ch - 1)
-    x0r = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, cw - 1)
-    y1r = jnp.clip(y0r + 1, 0, ch - 1)
-    x1r = jnp.clip(x0r + 1, 0, cw - 1)
-    wy = jnp.clip(ys - y0r, 0.0, 1.0)[:, None, None]
-    wx = jnp.clip(xs - x0r, 0.0, 1.0)[None, :, None]
-    y0, y1 = jnp.clip(top + y0r, 0, h - 1), jnp.clip(top + y1r, 0, h - 1)
-    x0, x1 = jnp.clip(left + x0r, 0, w - 1), jnp.clip(left + x1r, 0, w - 1)
-    top_row = img[y0][:, x0] * (1 - wx) + img[y0][:, x1] * wx
-    bot_row = img[y1][:, x0] * (1 - wx) + img[y1][:, x1] * wx
-    return top_row * (1 - wy) + bot_row * wy
+    wy = _cr_weights(top, ch, out_size, h)
+    wx = _cr_weights(left, cw, out_size, w)
+    t = jnp.einsum("oh,hwc->owc", wy, img,
+                   precision=jax.lax.Precision.HIGHEST)
+    return jnp.einsum("pw,owc->opc", wx, t,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 # ---------------------------------------------------------------------------
