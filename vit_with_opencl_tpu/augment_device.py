@@ -44,11 +44,16 @@ exact-parity against the originals:
   per-row/column constant integer shift + 2-tap blend. One fused 3-pass
   two-level shift-basis warp (:func:`_warp_x`/:func:`_warp_y`, selected
   by traced per-image parameters in :func:`_geom_apply`) replaces five
-  vmapped 2-D gathers: 2501 -> ~30 ms.
+  vmapped 2-D gathers: 2501 -> 17 ms (substitution table, incl. shell).
 - equalize: compare-and-sum one-hot histogram + one-hot LUT contraction
-  instead of `.at[].add` scatter: 761 -> 24 ms, parity 0.0.
+  instead of `.at[].add` scatter: 761 -> 53 ms, parity 0.0.
 - RRC resize: the bilinear gather becomes two one-hot matmuls riding the
   MXU (:func:`_crop_resize`): exact up to fp32 dot order.
+
+Net: the full DeiT pipeline runs at 74-144 ms/batch standalone (median
+~93; relay jitter) and costs +68.6 ms/step fused into the ViT-B bs128
+train step — 536 us/img vs the 4 ms/img host producer CPU it replaces.
+All numbers recorded in BENCH.md ("Device-side pixel pipeline").
 
 The reference project has no training at all; this module is
 beyond-reference capability paired with `augment.device_mixup_cutmix`.
