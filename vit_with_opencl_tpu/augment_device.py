@@ -45,15 +45,16 @@ exact-parity against the originals:
   two-level shift-basis warp (:func:`_warp_x`/:func:`_warp_y`, selected
   by traced per-image parameters in :func:`_geom_apply`) replaces five
   vmapped 2-D gathers: 2501 -> 17 ms (substitution table, incl. shell).
-- equalize: compare-and-sum one-hot histogram + one-hot LUT contraction
-  instead of `.at[].add` scatter: 761 -> 53 ms, parity 0.0.
+- equalize: two-level 16x16 one-hot nibble planes — histogram and LUT
+  application as tiny MXU matmuls (see :func:`_equalize`) instead of
+  `.at[].add` scatter: 761 -> 23.6 ms, parity 0.0.
 - RRC resize: the bilinear gather becomes two one-hot matmuls riding the
   MXU (:func:`_crop_resize`): exact up to fp32 dot order.
 
-Net: the full DeiT pipeline runs at 74-144 ms/batch standalone (median
-~93; relay jitter) and costs +68.6 ms/step fused into the ViT-B bs128
-train step — 536 us/img vs the 4 ms/img host producer CPU it replaces.
-All numbers recorded in BENCH.md ("Device-side pixel pipeline").
+Net: the full DeiT pipeline runs at 43.6 ms/batch standalone (75x the
+naive port) and costs +40.0 ms/step fused into the ViT-B bs128 train
+step — 313 us/img vs the 4 ms/img host producer CPU it replaces. All
+numbers recorded in BENCH.md ("Device-side pixel pipeline").
 
 The reference project has no training at all; this module is
 beyond-reference capability paired with `augment.device_mixup_cutmix`.
@@ -101,15 +102,25 @@ def _equalize(img, _v):
     """PIL ImageOps.equalize per channel: 256-bin histogram → PIL's
     step/offset LUT (integer arithmetic) → LUT lookup.
 
-    TPU-shaped: both the histogram and the lookup go through a one-hot
-    [H, W, 256] compare plane (sum for the histogram, weighted sum for the
-    LUT application) — the `.at[].add` scatter lowering this replaces was
-    30x slower on chip; parity vs it is exactly 0.0."""
+    TPU-shaped, two-level: a pixel value v = 16·c + f is one-hot encoded
+    as TWO [H, W, 16] compare planes (coarse nibble c, fine nibble f)
+    instead of one [H, W, 256] plane. The histogram is then a [HW,16]ᵀ ·
+    [HW,16] matmul (hist16[c, f] = count of value 16c+f, MXU-shaped) and
+    the LUT application is oh_hi · lut16 followed by a masked sum over
+    the fine plane — 8× less VPU compare/sum work than the flat plane
+    (itself 30× faster than the `.at[].add` scatter both replace). All
+    sums are exact in fp32 (0/1 products, counts < 2²⁴); parity vs the
+    scatter formulation is exactly 0.0."""
+    nib = jnp.arange(16, dtype=jnp.int32)
     bins = jnp.arange(256, dtype=jnp.int32)
 
     def one_channel(ch):
-        oh = ch.astype(jnp.int32)[..., None] == bins        # [H, W, 256]
-        hist = oh.sum(axis=(0, 1)).astype(jnp.int32)
+        idx = ch.astype(jnp.int32)
+        oh_hi = (idx[..., None] // 16 == nib).astype(jnp.float32)
+        oh_lo = (idx[..., None] % 16 == nib).astype(jnp.float32)
+        hist16 = jnp.einsum("hwc,hwf->cf", oh_hi, oh_lo,
+                            precision=jax.lax.Precision.HIGHEST)
+        hist = hist16.reshape(-1).astype(jnp.int32)         # value order
         nz = hist > 0
         n_nz = nz.sum()
         # value of the LAST nonzero bin
@@ -118,7 +129,9 @@ def _equalize(img, _v):
         lut = jnp.clip(
             (jnp.cumsum(hist) - hist + step // 2)
             // jnp.maximum(step, 1), 0, 255).astype(jnp.float32)
-        out = (oh * lut).sum(-1)
+        seg = jnp.einsum("hwc,cf->hwf", oh_hi, lut.reshape(16, 16),
+                         precision=jax.lax.Precision.HIGHEST)
+        out = (seg * oh_lo).sum(-1)
         return jnp.where((n_nz <= 1) | (step == 0), ch, out)
 
     return jnp.stack([one_channel(img[..., c]) for c in range(3)], axis=-1)
