@@ -69,6 +69,15 @@ def main():
     # UNROLL=depth replaces grad-through-while with a loop-free program —
     # the other known dodge for the same compile-helper crash.
     unroll = int(os.environ.get("UNROLL", "1"))
+    # TUNE=1: consult the autotune cache's quant="train" entry (falls back
+    # to the bf16 inference entry) — the same lookup Trainer(batch_size=)
+    # performs; TUNE=0 (default) measures the shipped heuristics.
+    tuning = None
+    if os.environ.get("TUNE", "0") == "1":
+        from vit_with_opencl_tpu.perf import autotune
+
+        tuning = autotune.lookup(cfg, batch, jnp.bfloat16, quant="train")
+        print(f"tuning: { {k: v for k, v in tuning.items() if not k.endswith('_ms')} }")
     results = {}
     for impl in impls:
         if impl.startswith(("fused_split", "flash_split", "staged_split")):
@@ -85,13 +94,13 @@ def main():
             gsz = int(impl.split("split")[1] or "1")
             step = split_step.make_split_train_step(
                 cfg, lr=1e-4, compute_dtype=jnp.bfloat16,
-                layers_per_program=gsz, backward=bw)
+                layers_per_program=gsz, backward=bw, tuning=tuning)
         else:
             step = spmd.make_train_step(cfg, mesh, lr=1e-4,
                                         compute_dtype=jnp.bfloat16,
                                         attention_impl=impl,
                                         grad_accum=accum,
-                                        scan_unroll=unroll)
+                                        scan_unroll=unroll, tuning=tuning)
         try:
             t0 = time.perf_counter()
             p, loss = step(params, images, labels)

@@ -365,6 +365,52 @@ def test_packed_attention_trainable_grads():
     np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_r), atol=1e-4)
 
 
+def test_packed_attention_trainable_ipc_knobs():
+    """The autotune launch knobs (fwd / bwd images-per-cell) reshape the
+    kernel grid only — value and grads must match the default launch
+    bit-for-bit-closely for every (fwd, bwd) combination, including a
+    non-divisor (clamped down) candidate."""
+    import functools
+
+    from vit_with_opencl_tpu.ops.attention import (
+        packed_fused_attention_trainable,
+    )
+
+    r = rng()
+    nh, hd, t = 4, 16, 33
+    qkv = jnp.asarray(
+        r.standard_normal((4, t, 3 * nh * hd)).astype(np.float32))
+
+    def loss(x, fwd_ipc=None, bwd_ipc=None):
+        return jnp.sum(
+            packed_fused_attention_trainable(x, nh, hd, fwd_ipc, bwd_ipc)
+            ** 2)
+
+    v0, g0 = jax.value_and_grad(loss)(qkv)
+    for fwd_ipc, bwd_ipc in ((2, 2), (4, 1), (1, 4), (3, 3)):
+        v, g = jax.value_and_grad(
+            functools.partial(loss, fwd_ipc=fwd_ipc, bwd_ipc=bwd_ipc))(qkv)
+        np.testing.assert_allclose(float(v), float(v0), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(g0), atol=1e-5)
+
+
+def test_packed_attention_bwd_ipc_parity():
+    """packed_attention_bwd with images_per_cell > 1 (the training autotune
+    knob) returns the same dqkv as the default single-image grid."""
+    from vit_with_opencl_tpu.ops.attention import packed_attention_bwd
+
+    r = rng()
+    nh, hd, t = 4, 16, 40
+    qkv = jnp.asarray(
+        r.standard_normal((4, t, 3 * nh * hd)).astype(np.float32))
+    do = jnp.asarray(r.standard_normal((4, t, nh * hd)).astype(np.float32))
+    base = packed_attention_bwd(qkv, do, nh, hd)
+    for ipc in (2, 4):
+        out = packed_attention_bwd(qkv, do, nh, hd, images_per_cell=ipc)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(base),
+                                   atol=1e-6)
+
+
 def test_fused_block_matches_golden_forward():
     """Whole-layer fused kernel end-to-end (fused_block path) vs golden."""
     from vit_with_opencl_tpu.harness import fixtures

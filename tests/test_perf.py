@@ -620,3 +620,47 @@ def test_kernel_substitutions_reentrancy_guard_still_works():
             profiler.attribute_forward(CFG, params, images, iters=1)
     finally:
         profiler._ATTRIBUTION_LOCK.release()
+
+
+def test_tune_and_save_train_entry(tmp_path):
+    """quant='train' sweeps the TRAINING kernel set: the stack kernel is
+    never the training route (no VJP), so the packed-attention fwd sweep
+    runs even for stack-class configs, plus the backward kernel's own knob
+    (attention_bwd_ipc) — the entry Trainer(batch_size=...) consults."""
+    from vit_with_opencl_tpu.perf import autotune
+
+    path = tmp_path / "tuning.json"
+
+    def fake_timer(fn, args, iters):
+        fake_timer.n += 1
+        return float(fake_timer.n)  # first candidate of each sweep wins
+
+    fake_timer.n = 0
+    result = autotune.tune_and_save(
+        CFG, 4, dtype=jnp.float32, path=path, timer=fake_timer,
+        quant="train",
+    )
+    assert "attention_ipc" in result
+    assert "attention_bwd_ipc" in result
+    assert "fused_stack_ipc" not in result  # training never runs the stack
+    saved = autotune.lookup(CFG, 4, jnp.float32, path=path, quant="train")
+    assert saved["attention_bwd_ipc"] == result["attention_bwd_ipc"]
+    # No train entry at another batch: falls back to the base (inference)
+    # key when one exists, tagged so callers can tell.
+    autotune.save_tuning(path, autotune.tuning_key(CFG, 8, jnp.float32),
+                         {"attention_ipc": 2,
+                          "device": str(jax.devices()[0])})
+    fb = autotune.lookup(CFG, 8, jnp.float32, path=path, quant="train")
+    assert fb["attention_ipc"] == 2 and "fallback_from" in fb
+
+
+def test_autotune_attention_bwd_ipc_interpret():
+    """Selection mechanics of the backward-kernel sweep (stub timer)."""
+    from vit_with_opencl_tpu.perf import autotune
+
+    best, table = autotune.tune_attention_bwd_ipc(
+        CFG, batch=4, dtype=jnp.float32, candidates=(1, 2, 3, 4),
+        timer=lambda fn, args, iters: 1.0,
+    )
+    assert set(table) == {1, 2, 4}  # 3 doesn't divide the batch
+    assert best in table

@@ -479,3 +479,35 @@ def test_trainer_split_step_mode():
                 attention_impl="split:flash")
     with pytest.raises(ValueError, match="single-device"):
         Trainer(CFG, optimizer="sgd", attention_impl="split:flash")
+
+
+def test_trainer_consumes_tuning_cache(tmp_path):
+    """Trainer(batch_size=...) looks up the autotune cache's quant='train'
+    entry (the inference engine's startup lookup, mirrored for training)
+    and the tuned launch knobs must not change the step's math — same data,
+    same seed, same losses as the untuned Trainer."""
+    from vit_with_opencl_tpu.perf import autotune
+
+    path = str(tmp_path / "tuning.json")
+    per_dev = 8 // len(jax.devices()) or 1
+    autotune.save_tuning(
+        path, autotune.tuning_key(CFG, per_dev, jnp.float32, "train"),
+        {"attention_ipc": 2, "attention_bwd_ipc": 2,
+         "device": str(jax.devices()[0])})
+    images, labels = _dataset(16)
+
+    losses = {}
+    for name, kw in (("tuned", dict(batch_size=8, tuning_path=path)),
+                     ("default", {})):
+        tr = Trainer(CFG, lr=1e-2, optimizer="sgd",
+                     compute_dtype=jnp.float32, attention_impl="flash",
+                     log_every=0, seed=3, **kw)
+        if name == "tuned":
+            assert tr.tuning.get("attention_bwd_ipc") == 2
+        else:
+            assert tr.tuning == {}
+        tr.fit(data_mod.memory_dataset(images, labels, 8, epochs=None,
+                                       seed=4), steps=3)
+        losses[name] = tr.last_loss
+    np.testing.assert_allclose(losses["tuned"], losses["default"],
+                               rtol=1e-5)

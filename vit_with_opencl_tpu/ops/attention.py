@@ -511,35 +511,49 @@ def packed_attention_bwd(
     num_heads: int,
     head_dim: int,
     *,
+    images_per_cell: int | None = None,
     interpret: bool | None = None,
 ) -> jax.Array:
-    """Fused backward: (qkv [B,T,3D], dO [B,T,D]) → dqkv [B,T,3D]."""
+    """Fused backward: (qkv [B,T,3D], dO [B,T,D]) → dqkv [B,T,3D].
+
+    ``images_per_cell`` widens the grid cell like the forward's knob (an
+    autotune target: few-head models amortize per-cell overhead across
+    images). Default 1 — the backward's working set is ~2.3x the forward's
+    (qkv + dO in, dqkv out, plus the rematerialized [T, T] per head), so
+    the forward's heuristic does not transfer.
+    """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     b, t, three_d = qkv.shape
     d = num_heads * head_dim
     assert three_d == 3 * d
     scale = float(1.0 / np.sqrt(head_dim))
+    if images_per_cell is None:
+        images_per_cell = 1
+    images_per_cell = int(max(1, min(images_per_cell, b)))
+    while b % images_per_cell:
+        images_per_cell -= 1
     # Same ragged-vs-padded routing as the forward: big misaligned blocks
     # blow Mosaic's ragged relayout VMEM (see packed_fused_attention).
     t_in = t
-    if t * 3 * d * qkv.dtype.itemsize > (2 << 20):
+    if images_per_cell * t * 3 * d * qkv.dtype.itemsize > (2 << 20):
         t_in = max(_cdiv(t, 128) * 128, 128)
         if t_in != t:
             qkv = jnp.pad(qkv, ((0, 0), (0, t_in - t), (0, 0)))
             do = jnp.pad(do, ((0, 0), (0, t_in - t), (0, 0)))
     kernel = functools.partial(
         _packed_bwd_kernel, scale=scale, seq_len=t, num_heads=num_heads,
-        head_dim=head_dim, images_per_cell=1,
+        head_dim=head_dim, images_per_cell=images_per_cell,
     )
+    ipc = images_per_cell
     out = pl.pallas_call(
         kernel,
-        grid=(b,),
+        grid=(b // ipc,),
         in_specs=[
-            pl.BlockSpec((1, t_in, 3 * d), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, t_in, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((ipc, t_in, 3 * d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((ipc, t_in, d), lambda i: (i, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, t_in, 3 * d), lambda i: (i, 0, 0)),
+        out_specs=pl.BlockSpec((ipc, t_in, 3 * d), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, t_in, 3 * d), qkv.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
@@ -764,8 +778,10 @@ def _packed_merge(xf: jax.Array, b: int, num_heads: int, head_dim: int):
     return x.reshape(b, t, num_heads * head_dim)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
-def packed_fused_attention_trainable(qkv, num_heads: int, head_dim: int):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def packed_fused_attention_trainable(qkv, num_heads: int, head_dim: int,
+                                     images_per_cell: int | None = None,
+                                     bwd_images_per_cell: int | None = None):
     """Differentiable fused attention on packed [B, T, 3D] input.
 
     Pallas in both directions, routed by sequence length:
@@ -774,10 +790,15 @@ def packed_fused_attention_trainable(qkv, num_heads: int, head_dim: int):
       * longer — blockwise flash forward (saving log-sum-exp) + blockwise
         backward (``blockwise_attention_bwd``): no [T, T] residency in
         either direction, so training length is unbounded like inference.
+    ``images_per_cell`` / ``bwd_images_per_cell`` are the autotune launch
+    knobs for the short-sequence route's forward / backward kernels (the
+    tuned-literals role of the reference's hand-picked dispatch sizes,
+    ViT_opencl.c:510); the long-sequence blockwise route ignores them.
     First-order reverse-mode only (a standard custom_vjp restriction — use
     ``_packed_reference_math`` if higher-order derivatives are ever needed).
     """
-    out, _ = _trainable_fwd(qkv, num_heads, head_dim)
+    out, _ = _trainable_fwd(qkv, num_heads, head_dim, images_per_cell,
+                            bwd_images_per_cell)
     return out
 
 
@@ -785,11 +806,13 @@ def _is_long_seq(t: int) -> bool:
     return max(_cdiv(t, 128) * 128, 128) > SINGLE_PASS_MAX_T
 
 
-def _trainable_fwd(qkv, num_heads, head_dim):
+def _trainable_fwd(qkv, num_heads, head_dim, images_per_cell=None,
+                   bwd_images_per_cell=None):
     b, t, _ = qkv.shape
     if not _is_long_seq(t):
         out = packed_fused_attention(qkv, num_heads=num_heads,
-                                     head_dim=head_dim)
+                                     head_dim=head_dim,
+                                     images_per_cell=images_per_cell)
         return out, (qkv, None, None)
     interpret = jax.default_backend() != "tpu"
     scale = float(1.0 / np.sqrt(head_dim))
@@ -807,10 +830,13 @@ def _trainable_fwd(qkv, num_heads, head_dim):
     return out, (qkv, of, lse)
 
 
-def _trainable_bwd(num_heads, head_dim, res, g):
+def _trainable_bwd(num_heads, head_dim, images_per_cell,
+                   bwd_images_per_cell, res, g):
     qkv, of, lse = res
     if of is None:
-        return (packed_attention_bwd(qkv, g, num_heads, head_dim),)
+        return (packed_attention_bwd(
+            qkv, g, num_heads, head_dim,
+            images_per_cell=bwd_images_per_cell),)
     b, t, _ = qkv.shape
     interpret = jax.default_backend() != "tpu"
     scale = float(1.0 / np.sqrt(head_dim))

@@ -80,6 +80,7 @@ def make_split_train_step(
     grad_clip_norm: Optional[float] = None,
     images_per_cell: Optional[int] = None,
     backward: str = "fused",
+    tuning: Optional[dict] = None,
 ):
     """Build the host-loop step. Returns ``step(params, images, labels) →
     (new_params, loss)`` — same contract as spmd.make_train_step's SGD mode;
@@ -118,6 +119,9 @@ def make_split_train_step(
         raise ValueError(
             f"{config.name}: fused trainable layer unsupported at this "
             "width; use backward='flash'")
+    if images_per_cell is None and (tuning or {}).get("fused_block_ipc"):
+        # The fused route's cell width shares the inference kernel's knob.
+        images_per_cell = int(tuning["fused_block_ipc"])
     ipc = images_per_cell or 1
     if grad_clip_norm is not None and not grad_clip_norm > 0.0:
         raise ValueError(f"grad_clip_norm must be > 0, got {grad_clip_norm}")
@@ -144,11 +148,17 @@ def make_split_train_step(
         from ..ops.attention import packed_fused_attention_trainable
 
         # Per-op layer with the TRAINABLE packed flash kernel (custom VJP)
-        # — same wiring as spmd.make_train_step(attention_impl='flash').
+        # — same wiring as spmd.make_train_step(attention_impl='flash'),
+        # including its autotune launch knobs.
+        _tun = tuning or {}
+        _fwd_ipc = (int(_tun["attention_ipc"])
+                    if _tun.get("attention_ipc") else None)
+        _bwd_ipc = (int(_tun["attention_bwd_ipc"])
+                    if _tun.get("attention_bwd_ipc") else None)
         flash_kernels = vit.resolve_kernels("xla")
         flash_kernels["attention_packed"] = (
             lambda qkv, cfg: packed_fused_attention_trainable(
-                qkv, cfg.num_heads, cfg.head_dim))
+                qkv, cfg.num_heads, cfg.head_dim, _fwd_ipc, _bwd_ipc))
 
         def _layer_fn(x, lp):
             x = x + vit._attention_block(x, lp, config, flash_kernels)

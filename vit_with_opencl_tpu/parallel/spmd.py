@@ -703,7 +703,8 @@ def make_train_step(config: ViTConfig, mesh: Mesh, *, lr: float = 1e-3,
                     weight_decay: float = 0.05, attention_impl: str = "xla",
                     grad_accum: int = 1, scan_unroll: int = 1,
                     grad_clip_norm: float | None = None,
-                    label_smoothing: float = 0.0):
+                    label_smoothing: float = 0.0,
+                    tuning: dict | None = None):
     """Cross-entropy training step, jit over the mesh: batch sharded over
     "data", weights sharded over "model" (GSPMD inserts the collectives).
 
@@ -729,9 +730,18 @@ def make_train_step(config: ViTConfig, mesh: Mesh, *, lr: float = 1e-3,
         from ..ops.attention import packed_fused_attention_trainable
 
         kernels = vit.resolve_kernels("xla")
+        # Device-measured launch knobs (perf/autotune cache): attention_ipc
+        # tunes the forward kernel's grid cell like the inference engine's
+        # lookup does; attention_bwd_ipc is the backward kernel's own knob
+        # (its working set is ~2.3x, so the winners differ).
+        tuning = tuning or {}
+        _fwd_ipc = (int(tuning["attention_ipc"])
+                    if tuning.get("attention_ipc") else None)
+        _bwd_ipc = (int(tuning["attention_bwd_ipc"])
+                    if tuning.get("attention_bwd_ipc") else None)
         kernels["attention_packed"] = (
             lambda qkv, cfg: packed_fused_attention_trainable(
-                qkv, cfg.num_heads, cfg.head_dim
+                qkv, cfg.num_heads, cfg.head_dim, _fwd_ipc, _bwd_ipc
             )
         )
         if attention_impl == "fused":

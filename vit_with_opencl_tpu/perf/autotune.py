@@ -128,6 +128,44 @@ def tune_attention_ipc(
                  prior=prior, budget=budget, on_point=on_point)
 
 
+def tune_attention_bwd_ipc(
+    config: ViTConfig,
+    batch: int,
+    *,
+    dtype=jnp.bfloat16,
+    candidates: Sequence[int] = (1, 2, 4, 8),
+    iters: int = 20,
+    timer: Optional[Callable] = None,
+    prior: Optional[Dict] = None,
+    budget: Optional[list] = None,
+    on_point: Optional[Callable[[Dict], None]] = None,
+) -> Tuple[int, Dict[int, float]]:
+    """Sweep images-per-cell for the packed attention BACKWARD kernel (the
+    training path's rematerializing bwd, ops/attention.packed_attention_bwd).
+    Its working set is ~2.3x the forward's, so the fwd winner does not
+    transfer — this is its own cache key (``attention_bwd_ipc``), consumed
+    by Trainer/make_train_step via the quant="train" tuning entry."""
+    from ..ops.attention import packed_attention_bwd
+
+    d = config.embed_dim
+    t = config.num_tokens
+    i = jax.lax.broadcasted_iota(
+        jnp.int32, (batch * t * 4 * d, 1), 0)[:, 0]
+    v = (((i * 16807) % 1021).astype(jnp.float32) / 1021.0 - 0.5)
+    qkv = v[:batch * t * 3 * d].reshape(batch, t, 3 * d).astype(dtype)
+    do = v[batch * t * 3 * d:].reshape(batch, t, d).astype(dtype)
+
+    def build(ipc):
+        return jax.jit(functools.partial(
+            packed_attention_bwd, num_heads=config.num_heads,
+            head_dim=config.head_dim, images_per_cell=ipc,
+        ))
+
+    valid = [c for c in candidates if batch % c == 0]
+    return sweep(valid, build, (qkv, do), iters=iters, timer=timer,
+                 prior=prior, budget=budget, on_point=on_point)
+
+
 def tune_fused_block_ipc(
     config: ViTConfig,
     batch: int,
@@ -469,8 +507,14 @@ def tune_and_save(
     from ..ops import fused_block
 
     path = path or default_tuning_path()
-    all_knobs = ("attention", "ragged", "blockwise", "ipc")
-    knobs = tuple(knobs) if knobs is not None else all_knobs
+    all_knobs = ("attention", "attention_bwd", "ragged", "blockwise", "ipc")
+    if knobs is None:
+        # attention_bwd is a TRAINING kernel — swept by default only for
+        # the training entry (quant="train"); inference sweeps skip it.
+        knobs = all_knobs if quant == "train" else (
+            "attention", "ragged", "blockwise", "ipc")
+    else:
+        knobs = tuple(knobs)
     unknown = set(knobs) - set(all_knobs)
     if unknown:
         raise ValueError(f"unknown knobs {sorted(unknown)}; pick from "
@@ -478,11 +522,13 @@ def tune_and_save(
     if points is not None and points < 1:
         raise ValueError(f"points must be >= 1, got {points}")
     budget = [points] if points is not None else None
-    dtype_bytes = 1 if quant else jnp.dtype(dtype).itemsize
+    dtype_bytes = (1 if quant and quant.startswith("int8")
+                   else jnp.dtype(dtype).itemsize)
     # W8A8 never routes through the stack kernel (models/vit.encoder: its
-    # unrolled-stack + quantize body compiles for >10 min) — sweep what
+    # unrolled-stack + quantize body compiles for >10 min), and TRAINING
+    # never does either (the stack kernel has no VJP) — sweep what
     # production will actually run.
-    stack_ok = (quant != "int8-w8a8"
+    stack_ok = (quant not in ("int8-w8a8", "train")
                 and fused_block.supports_stack(config, dtype_bytes=dtype_bytes))
     result: Dict = {
         "device": str(jax.devices()[0]),
@@ -526,6 +572,16 @@ def tune_and_save(
             result["attention_ipc"] = int(attn_ipc)
         result["attention_table_ms"] = {str(k): v
                                         for k, v in attn_table.items()}
+    if "attention_bwd" in knobs and not stack_ok and left():
+        bwd_ipc, bwd_table = tune_attention_bwd_ipc(
+            config, batch, dtype=dtype, iters=iters, timer=timer,
+            prior=_parse_prior_table(result, "attention_bwd_table_ms"),
+            budget=budget, on_point=writer("attention_bwd_table_ms"),
+        )
+        if bwd_ipc is not None:
+            result["attention_bwd_ipc"] = int(bwd_ipc)
+        result["attention_bwd_table_ms"] = {
+            str(k): v for k, v in bwd_table.items()}
     if "ragged" in knobs and not stack_ok and left():
         ragged, ragged_table = tune_ragged_route(
             config, batch, dtype=dtype, iters=iters, timer=timer,
@@ -598,10 +654,14 @@ def main(argv=None) -> int:
                         help=f"tuning file (default {default_tuning_path()})")
     parser.add_argument("--iters", type=int, default=20)
     parser.add_argument("--quant", default=None,
-                        choices=["int8", "int8-w8a8"],
-                        help="sweep the quantized kernel variants")
+                        choices=["int8", "int8-w8a8", "train"],
+                        help="sweep the quantized kernel variants, or"
+                             " 'train' for the training-step entry (adds"
+                             " the backward-attention knob; Trainer"
+                             " consults this key)")
     parser.add_argument("--knobs", default=None,
-                        help="comma list of {attention,ragged,blockwise,ipc}"
+                        help="comma list of {attention,attention_bwd,"
+                             "ragged,blockwise,ipc}"
                              " — restrict the sweep (big-config attention"
                              " sweeps can take minutes per compile on the"
                              " relay); partial results merge into the cache")

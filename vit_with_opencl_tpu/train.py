@@ -84,6 +84,9 @@ class Trainer:
         attention_impl: str = "xla",
         grad_accum: int = 1,
         scan_unroll: int = 1,
+        tuning: Optional[dict] = None,
+        batch_size: Optional[int] = None,
+        tuning_path: Optional[str] = None,
         grad_clip_norm: Optional[float] = None,
         label_smoothing: float = 0.0,
         mixup: Optional[dict] = None,
@@ -128,6 +131,21 @@ class Trainer:
             else:
                 raise ValueError(f"unknown schedule {schedule!r}")
 
+        # Device-measured launch knobs for the training kernels — the same
+        # perf/autotune cache the inference engine consults. Pass explicit
+        # ``tuning`` knobs, or a GLOBAL ``batch_size`` hint for an automatic
+        # lookup (keyed per-device, quant="train"; lookup falls back to the
+        # same-shape inference entry when no training sweep was recorded,
+        # so inference attention_ipc winners carry over to the forward).
+        if tuning is None and batch_size:
+            from .perf import autotune
+
+            per_dev = max(1, int(batch_size) // int(self.mesh.devices.size))
+            tuning = autotune.lookup(
+                config, per_dev, compute_dtype, quant="train",
+                path=tuning_path)
+        self.tuning = tuning or {}
+
         self._split_mode = attention_impl.startswith("split:")
         if self._split_mode:
             # "split:<backward>[:<layers_per_program>]" — the program-split
@@ -151,6 +169,7 @@ class Trainer:
                 layers_per_program=int(parts[2]) if len(parts) > 2 else 1,
                 label_smoothing=label_smoothing,
                 grad_clip_norm=grad_clip_norm, backward=parts[1],
+                tuning=self.tuning,
             )
         else:
             # scan_unroll=depth is the relay-compile dodge for D>=768
@@ -161,7 +180,7 @@ class Trainer:
                 optimizer=optimizer, weight_decay=weight_decay,
                 attention_impl=attention_impl, grad_accum=grad_accum,
                 scan_unroll=scan_unroll, grad_clip_norm=grad_clip_norm,
-                label_smoothing=label_smoothing,
+                label_smoothing=label_smoothing, tuning=self.tuning,
             )
         if optimizer == "sgd":
             self._init_opt, self._step = None, made
