@@ -455,3 +455,263 @@ def pp_train_step(
         return new_core, loss
 
     return step
+
+
+# ---------------------------------------------------------------------------
+# 1F1B pipeline training: bounded activation memory, any microbatch count
+# ---------------------------------------------------------------------------
+#
+# ``pp_train_step`` above differentiates THROUGH the staged forward loop, so
+# XLA's linearization store stashes every step's per-layer residuals — memory
+# grows linearly with the microbatch count M (GPipe's memory shape). The
+# explicit schedule below interleaves one forward and one backward chunk per
+# clock tick (PipeDream-flush / 1F1B), stashes only each in-flight
+# microbatch's STAGE INPUT in a fixed 2S-slot ring, and rematerializes the
+# stage forward inside ``jax.vjp`` during the backward slot — peak activation
+# memory is O(S · microbatch), independent of M, so arbitrarily large batches
+# train at fixed HBM.
+#
+# Clock layout (unit-cost F and B per stage per tick):
+#   forward  of microbatch m at stage s:  tick  m + s
+#   backward of microbatch m at stage s:  tick  m + 2S − 1 − s
+# which satisfies f(s,m) ≥ f(s−1,m)+1, b(s,m) ≥ b(s+1,m)+1 and
+# b(S−1,m) = f(S−1,m)+1 (the last stage turns a microbatch around
+# immediately — the defining 1F1B property). In-flight microbatches at stage
+# s number at most 2(S−s)−1 < 2S, so an m-mod-2S stash ring never collides.
+# Total ticks: M + 2S − 1.
+#
+# SPMD uniformity trick: each backward slot runs ONE ``jax.vjp`` over
+#   (x, local_layers, head_params) ↦ (stage_out, microbatch_loss)
+# seeding the cotangent (0, 1/M) on the last stage (loss-sourced) and
+# (dy_in, 0) everywhere else — head/final-LN grads fall out only where the
+# loss term is live, inner stages get pure activation cotangents, and every
+# device executes the same program. Embed grads are recovered at stage 0's
+# backward slot by a per-microbatch ``jax.vjp`` of the (replicated, cheap)
+# embed. Reference bar: none (beyond-reference) — completes the §2.3
+# parallelism matrix's training half at bounded memory.
+
+
+def pp_train_step_1f1b(
+    config: ViTConfig,
+    mesh: Mesh,
+    *,
+    n_microbatches: int = 4,
+    lr: float = 1e-3,
+    compute_dtype: jnp.dtype = jnp.float32,
+    attention_impl: str = "xla",
+    label_smoothing: float = 0.0,
+):
+    """1F1B-scheduled SGD step over the "pipe" mesh.
+
+    Same contract as ``pp_train_step`` (plain ``shard_params_pp`` layout,
+    hard or soft labels, returns ``step(params, images, labels) ->
+    (new_params, loss)``) but with bounded activation stashing: at most 2S
+    stage-input activations live at once regardless of ``n_microbatches``,
+    with the stage forward rematerialized during its backward slot.
+    Interleaved (virtual-stage) layouts are not supported — re-shard with
+    ``shard_params_pp(..., interleave=1)``.
+    """
+    from ..models import quant
+
+    S = mesh.shape["pipe"]
+    M = n_microbatches
+    K = 2 * S  # stash ring slots; in-flight ≤ 2S−1 so m-mod-K never collides
+    kernels = vit.resolve_kernels(attention_impl)
+    if config.depth % S:
+        raise ValueError(f"depth {config.depth} not divisible by {S} stages")
+    if not 0.0 <= label_smoothing < 1.0:
+        raise ValueError(
+            f"label_smoothing must be in [0, 1), got {label_smoothing}")
+
+    _EMB_KEYS = ("patch_w", "patch_b", "prefix_tokens", "pos_emb",
+                 "pre_ln_w", "pre_ln_b")
+    _HEAD_KEYS = ("final_ln_w", "final_ln_b", "head_w", "head_b",
+                  "head_dist_w", "head_dist_b")
+
+    def fn(imgs, labels, p):
+        stage = jax.lax.axis_index("pipe")
+        is_last = stage == S - 1
+        b = imgs.shape[0]
+        mb = b // M
+        lp_local = p["layers"]
+        emb_p = {k: p[k] for k in _EMB_KEYS if k in p}
+        head_p = {k: p[k] for k in _HEAD_KEYS if k in p}
+
+        def emb_fn(ep, im):
+            q = dict(p)
+            q.update(ep)
+            x = vit.embed(im, q, config, compute_dtype)
+            if config.pre_norm:
+                x = kernels["layer_norm"](x, q["pre_ln_w"], q["pre_ln_b"],
+                                          config.eps)
+            return x
+
+        def stage_fn(x, lp):
+            def block(hh, l):
+                hh = hh + vit._attention_block(hh, l, config, kernels)
+                hh = hh + vit._mlp_block(hh, l, config, kernels)
+                return hh, None
+
+            out, _ = jax.lax.scan(block, x, lp)
+            return out
+
+        def mb_loss(feats, hp, lbl):
+            # Per-microbatch mean CE, scaled 1/M so the accumulated sum (and
+            # its gradients) equals the global batch-mean loss.
+            q = dict(p)
+            q.update(hp)
+            f32 = vit.layer_norm(
+                feats, q["final_ln_w"], q["final_ln_b"], config.eps
+            ).astype(jnp.float32)
+            logits = vit.classifier_logits(f32, q, config, compute_dtype)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            if lbl.ndim == 2:  # soft labels (Mixup/CutMix)
+                nll = -jnp.mean(jnp.sum(lbl.astype(logp.dtype) * logp, -1))
+            else:
+                nll = -jnp.mean(
+                    jnp.take_along_axis(logp, lbl[:, None], axis=-1))
+            if label_smoothing:
+                uniform = -jnp.mean(logp)
+                nll = ((1.0 - label_smoothing) * nll
+                       + label_smoothing * uniform)
+            return nll / M
+
+        # Replicated embed feed (cheap next to the encoder), as microbatches.
+        x0 = emb_fn(emb_p, imgs)
+        t_len, d = x0.shape[1], x0.shape[2]
+        mbs = x0.reshape(M, mb, t_len, d)
+        imgs_m = imgs.reshape((M, mb) + imgs.shape[1:])
+        lbls_m = labels.reshape((M, mb) + labels.shape[1:])
+
+        perm_fwd = [(i, (i + 1) % S) for i in range(S)]
+        perm_bwd = [(i, (i - 1) % S) for i in range(S)]
+        f32 = jnp.float32
+
+        def zeros_like_f32(tree):
+            return jax.tree.map(lambda a: jnp.zeros(a.shape, f32), tree)
+
+        init = (
+            jnp.zeros((mb, t_len, d), compute_dtype),   # fwd activation ring
+            jnp.zeros((mb, t_len, d), compute_dtype),   # bwd cotangent ring
+            jnp.zeros((K, mb, t_len, d), compute_dtype),  # stash ring
+            zeros_like_f32(lp_local),                   # layer-grad shard
+            zeros_like_f32(emb_p),                      # embed grads (stage 0)
+            zeros_like_f32(head_p),                     # head grads (stage S−1)
+            jnp.zeros((), f32),                         # loss accumulator
+        )
+
+        def tick(t, state):
+            fwd, bwd, stash, gl, ge, gh, lacc = state
+
+            # ---- forward slot: microbatch t − s ----
+            mf = t - stage
+            f_act = (mf >= 0) & (mf < M)
+            mf_c = jnp.clip(mf, 0, M - 1)
+            inp = jnp.where(stage == 0, mbs[mf_c], fwd)
+            slot_f = mf_c % K
+            cur = jax.lax.dynamic_index_in_dim(stash, slot_f, 0,
+                                               keepdims=False)
+            stash = jax.lax.dynamic_update_index_in_dim(
+                stash, jnp.where(f_act, inp, cur), slot_f, axis=0)
+            y = stage_fn(inp, lp_local)
+            fwd = jax.lax.ppermute(y, "pipe", perm_fwd)
+
+            # ---- backward slot: microbatch t − (2S − 1 − s) ----
+            mb_i = t - (2 * S - 1 - stage)
+            b_act = (mb_i >= 0) & (mb_i < M)
+            mb_c = jnp.clip(mb_i, 0, M - 1)
+            x_st = jax.lax.dynamic_index_in_dim(
+                stash, mb_c % K, 0, keepdims=False)
+            lbl = jax.lax.dynamic_index_in_dim(lbls_m, mb_c, 0,
+                                               keepdims=False)
+
+            def fwd_and_loss(xx, lp, hp):
+                feats = stage_fn(xx, lp)  # remat: forward recomputed here
+                return feats, mb_loss(feats, hp, lbl)
+
+            (feats, lval), vjp = jax.vjp(fwd_and_loss, x_st, lp_local, head_p)
+            d_feats = jnp.where(is_last, jnp.zeros_like(bwd), bwd)
+            d_loss = jnp.where(is_last, f32(1.0), f32(0.0))
+            dx, dlp, dhp = vjp((d_feats.astype(feats.dtype), d_loss))
+
+            wb = jnp.where(b_act, f32(1.0), f32(0.0))
+            gl = jax.tree.map(lambda a, g: a + wb * g.astype(f32), gl, dlp)
+            gh = jax.tree.map(lambda a, g: a + wb * g.astype(f32), gh, dhp)
+            lacc = lacc + wb * jnp.where(is_last, lval, f32(0.0))
+
+            # Stage 0's dx is the cotangent of the embed output — close the
+            # chain with a per-microbatch embed vjp (replicated + cheap; the
+            # result is masked off every other stage).
+            im = jax.lax.dynamic_index_in_dim(imgs_m, mb_c, 0, keepdims=False)
+            _, evjp = jax.vjp(lambda ep: emb_fn(ep, im), emb_p)
+            (dep,) = evjp(dx.astype(x0.dtype))
+            we = wb * jnp.where(stage == 0, f32(1.0), f32(0.0))
+            ge = jax.tree.map(lambda a, g: a + we * g.astype(f32), ge, dep)
+
+            bwd = jax.lax.ppermute(dx.astype(compute_dtype), "pipe", perm_bwd)
+            return fwd, bwd, stash, gl, ge, gh, lacc
+
+        n_ticks = M + 2 * S - 1
+        _, _, _, gl, ge, gh, loss = jax.lax.fori_loop(0, n_ticks, tick, init)
+
+        # Embed grads live on stage 0, head grads + loss on stage S−1:
+        # psum replicates them (layer grads stay stage-local by design).
+        ge = jax.tree.map(lambda g: jax.lax.psum(g, "pipe"), ge)
+        gh = jax.tree.map(lambda g: jax.lax.psum(g, "pipe"), gh)
+        loss = jax.lax.psum(loss, "pipe")
+
+        grads = dict(ge)
+        grads.update(gh)
+        grads["layers"] = gl
+
+        def sgd(w, g):
+            if not jnp.issubdtype(w.dtype, jnp.floating):
+                return w
+            return (w - lr * g.astype(jnp.float32)).astype(w.dtype)
+
+        new_p = {
+            k: jax.tree.map(sgd, w, grads[k]) if k == "layers"
+            else sgd(w, grads[k])
+            for k, w in p.items()
+        }
+        return new_p, loss
+
+    def build(pspecs):
+        return jax.jit(jax.shard_map(
+            fn,
+            mesh=mesh,
+            in_specs=(P(), P(), pspecs),
+            out_specs=(pspecs, P()),
+            check_vma=False,
+        ))
+
+    from .spmd import _cached_program
+
+    def step(params, images, labels):
+        tag = params.get("pp_interleave")
+        laid_out = 1 if tag is None else int(tag)
+        if laid_out != 1:
+            raise ValueError(
+                f"pp_train_step_1f1b supports only the plain layout; params "
+                f"were laid out with interleave={laid_out} — re-shard with "
+                f"shard_params_pp(..., interleave=1)")
+        core = {k: v for k, v in params.items() if k != "pp_interleave"}
+        if quant.is_quantized(core["layers"]["qkv_w"]):
+            raise ValueError(
+                "pp_train_step_1f1b trains float params only; dequantize "
+                "before training")
+        pspecs = jax.tree.map(lambda _: P(), core)
+        pspecs["layers"] = jax.tree.map(lambda _: P("pipe"), core["layers"])
+        b = images.shape[0]
+        if b % M:
+            raise ValueError(f"batch {b} not divisible by {M} microbatches")
+        cache_key = ("pp_train_1f1b", config, mesh, M, b,
+                     jnp.dtype(compute_dtype), attention_impl, lr,
+                     label_smoothing, jax.tree.structure(core))
+        compiled = _cached_program(cache_key, lambda: build(pspecs))
+        new_core, loss = compiled(images, labels, core)
+        if tag is not None:
+            new_core["pp_interleave"] = tag
+        return new_core, loss
+
+    return step
